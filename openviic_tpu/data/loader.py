@@ -1,0 +1,117 @@
+"""Host-side batching + prefetch pipeline.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` usage (reference:
+trainers/base_trainer.py:40-80) with a numpy pipeline designed for XLA:
+
+ - deterministic shuffling from an integer seed (reproducible resume);
+ - fixed-shape padding: variable-row feature keys are padded to a bucket
+   boundary (multiple of ``bucket``) or to explicit ``pad_sizes`` so the
+   number of distinct compiled shapes stays tiny;
+ - background-thread prefetching so feature `.npy` reads overlap device
+   compute (the reference uses worker processes; threads suffice here since
+   numpy IO releases the GIL).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from openviic_tpu.data.instance import InstanceList
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        pad_sizes: Optional[Dict[str, int]] = None,
+        bucket: int = 8,
+        drop_last: bool = False,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.pad_sizes = pad_sizes
+        self.bucket = bucket
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _make_batch(self, indices: np.ndarray) -> InstanceList:
+        samples = [self.dataset[int(i)] for i in indices]
+        pad_sizes = dict(self.pad_sizes) if self.pad_sizes else {}
+        # Bucket-pad any variable-row array key not explicitly sized, so XLA
+        # sees at most a handful of shapes per key.
+        for key, v0 in samples[0].items():
+            if key in pad_sizes or not isinstance(v0, np.ndarray) or v0.ndim < 1:
+                continue
+            lens = {s[key].shape[0] for s in samples}
+            if v0.ndim >= 2 or len(lens) > 1:
+                # Feature-like keys (region/grid rows) are bucket-padded so
+                # the number of distinct compiled shapes stays small even
+                # when row counts vary across batches.  1-D token vectors
+                # are already globally fixed-length (vocab.encode_caption)
+                # and stay at their natural length.
+                pad_sizes[key] = _round_up(max(lens), self.bucket)
+        return InstanceList(samples, pad_sizes=pad_sizes)
+
+    def __iter__(self) -> Iterator[InstanceList]:
+        order = self._order()
+        self.epoch += 1
+        n_batches = len(self)
+        batches = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        if self.prefetch <= 0:
+            for idxs in batches:
+                yield self._make_batch(idxs)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer() -> None:
+            try:
+                for idxs in batches:
+                    q.put(self._make_batch(idxs))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

@@ -1,0 +1,232 @@
+"""Batched beam search as one jitted XLA program.
+
+Reference equivalent: models/modules/beam_search.py:4-118 — a Python loop
+over decode steps with stateful-buffer gathers (``apply_to_states``) every
+step.  Here the whole decode is a single ``lax.scan``:
+
+ - the KV cache is a preallocated pytree (bs*beam leading dim); beam
+   reordering is one ``take_along_axis`` gather over the pytree (replaces
+   the recursive ``_expand_state`` gather at beam_search.py:19-34,61);
+ - eos semantics replicate the reference exactly, including the ``-999``
+   continuation trick (beam_search.py:48-55): a finished beam's candidate
+   row keeps word 0 (<pad>) at its frozen sequence log-prob and every other
+   word at -999, and its per-step word log-prob contribution is zeroed;
+ - the t=0 "cur_beam_size=1" special case (beam_search.py:42) is emulated
+   with full static shapes by initialising every beam except 0 at a -1e18
+   sequence log-prob, so the first top-k draws beam_size distinct words
+   from beam 0 — identical selection, no dynamic shapes;
+ - the loop always runs max_len steps (the reference does too,
+   beam_search.py:94-95) — no data-dependent control flow.
+
+Encoder memory is broadcast beam-wise once at the start (the reference
+reaches the same state through ``_expand_state``'s view/expand at t=0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openviic_tpu.models.base import make_decode_cache
+
+
+def _expand_to_beams(tree, beam_size: int):
+    """(bs, ...) -> (bs*beam, ...) by repeating each row beam_size times."""
+
+    def expand(x):
+        if x is None:
+            return None
+        return jnp.repeat(x, beam_size, axis=0)
+
+    return jax.tree.map(expand, tree)
+
+
+def _gather_beams(tree, selected_beam: jnp.ndarray, b_s: int, beam_size: int):
+    """Reorder the beam dimension of every (bs*beam, ...) leaf.
+
+    ``selected_beam``: (bs, beam) int — for each output beam slot, which
+    input beam to copy (the reference's ``apply_to_states(_expand_state)``
+    gather, beam_search.py:19-34)."""
+
+    def gather(x):
+        if x is None:
+            return None
+        shaped = x.reshape((b_s, beam_size) + x.shape[1:])
+        idx = selected_beam.reshape((b_s, beam_size) + (1,) * (x.ndim - 1))
+        out = jnp.take_along_axis(shaped, idx, axis=1)
+        return out.reshape((b_s * beam_size,) + x.shape[1:])
+
+    return jax.tree.map(gather, tree)
+
+
+def _split_cache(cache):
+    """Separate the per-step-mutable part (self KV + pad) from the static
+    cross-attention KV, so the scan carry (gathered every step) stays small."""
+    static = [{"cross": lc["cross"]} for lc in cache["layers"]]
+    dynamic = {
+        "layers": [{"self": lc["self"]} for lc in cache["layers"]],
+        "pad": cache["pad"],
+    }
+    return static, dynamic
+
+
+def _merge_cache(static, dynamic):
+    layers = [
+        {"self": d["self"], "cross": s["cross"]}
+        for s, d in zip(static, dynamic["layers"])
+    ]
+    return {"layers": layers, "pad": dynamic["pad"]}
+
+
+def beam_search(
+    model,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    beam_size: int,
+    out_size: int = 1,
+    train_dropout_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run batched beam search; returns (outputs, log_probs).
+
+    outputs: (bs, out_size, max_len) int32 (squeezed to (bs, max_len) when
+    out_size == 1), log_probs likewise — matching the reference's return
+    convention (beam_search.py:109-118)."""
+    vocab = model.vocab
+    max_len = vocab.max_caption_length
+    eos_idx = vocab.eos_idx
+    bos_idx = vocab.bos_idx
+
+    # 1) encode once at batch size, then broadcast to beams
+    memory, memory_mask = model.apply(
+        params, batch, method=model.encoder_forward
+    )
+    b_s = jax.tree.leaves(memory)[0].shape[0]
+
+    memory = _expand_to_beams(memory, beam_size)
+    memory_mask = _expand_to_beams(memory_mask, beam_size)
+
+    # 2) build + prepare the decode cache at bs*beam; the cross-attention
+    # K/V is identical across beams and never mutated — keep it out of the
+    # scan carry so it is not gathered every step.
+    cache = make_decode_cache(model.config.DECODER, vocab, b_s * beam_size)
+    cache = model.apply(params, cache, memory, method=model.prepare_cache)
+    static_cache, dynamic_cache = _split_cache(cache)
+
+    vocab_size = len(vocab)
+
+    # 3) scan over decode steps
+    seq_logprob0 = jnp.full((b_s, beam_size, 1), -1e18)
+    seq_logprob0 = seq_logprob0.at[:, 0, :].set(0.0)
+
+    init = {
+        "cache": dynamic_cache,
+        "seq_logprob": seq_logprob0,
+        "seq_mask": jnp.ones((b_s, beam_size, 1)),
+        "selected_words": jnp.full((b_s * beam_size, 1), bos_idx, dtype=jnp.int32),
+        "outputs": jnp.zeros((b_s, beam_size, max_len), dtype=jnp.int32),
+        "log_probs": jnp.zeros((b_s, beam_size, max_len)),
+    }
+
+    def step_fn(carry, t):
+        word_logprob, new_cache = model.apply(
+            params,
+            t,
+            carry["selected_words"],
+            _merge_cache(static_cache, carry["cache"]),
+            memory_mask,
+            method=model.decode_step,
+        )
+        _, new_cache = _split_cache(new_cache)
+        word_logprob = word_logprob.reshape(b_s, beam_size, vocab_size)
+        seq_logprob = carry["seq_logprob"]
+        candidate_logprob = seq_logprob + word_logprob
+
+        # --- eos masking (active for t > 0; beam_search.py:48-55) -------
+        prev_words = carry["selected_words"].reshape(b_s, beam_size)
+        not_eos = (prev_words != eos_idx).astype(seq_logprob.dtype)[..., None]
+        seq_mask_t = jnp.where(t > 0, carry["seq_mask"] * not_eos, carry["seq_mask"])
+        word_logprob_eff = jnp.where(t > 0, word_logprob * seq_mask_t, word_logprob)
+        old_seq_logprob = jnp.where(
+            jnp.arange(vocab_size)[None, None, :] >= 1, -999.0, seq_logprob
+        )
+        candidate_logprob = jnp.where(
+            t > 0,
+            seq_mask_t * candidate_logprob + old_seq_logprob * (1.0 - seq_mask_t),
+            candidate_logprob,
+        )
+
+        # --- select top beam_size over (beam*vocab) ---------------------
+        flat = candidate_logprob.reshape(b_s, beam_size * vocab_size)
+        selected_logprob, selected_idx = jax.lax.top_k(flat, beam_size)
+        selected_beam = selected_idx // vocab_size  # (bs, beam)
+        selected_words = selected_idx % vocab_size
+
+        # --- reorder all state by selected_beam -------------------------
+        new_cache = _gather_beams(new_cache, selected_beam, b_s, beam_size)
+        seq_mask_t = jnp.take_along_axis(seq_mask_t, selected_beam[..., None], axis=1)
+        outputs = jnp.take_along_axis(
+            carry["outputs"], selected_beam[..., None], axis=1
+        )
+        outputs = outputs.at[:, :, t].set(selected_words)
+
+        this_word_logprob = jnp.take_along_axis(
+            word_logprob_eff, selected_beam[..., None], axis=1
+        )  # (bs, beam, V) rows reordered
+        this_word_logprob = jnp.take_along_axis(
+            this_word_logprob, selected_words[..., None], axis=2
+        )[..., 0]  # (bs, beam)
+        log_probs = jnp.take_along_axis(
+            carry["log_probs"], selected_beam[..., None], axis=1
+        )
+        log_probs = log_probs.at[:, :, t].set(this_word_logprob)
+
+        new_carry = {
+            "cache": new_cache,
+            "seq_logprob": selected_logprob[..., None],
+            "seq_mask": seq_mask_t,
+            "selected_words": selected_words.reshape(b_s * beam_size, 1).astype(
+                jnp.int32
+            ),
+            "outputs": outputs,
+            "log_probs": log_probs,
+        }
+        return new_carry, None
+
+    final, _ = jax.lax.scan(step_fn, init, jnp.arange(max_len))
+
+    # 4) sort beams by final sequence log-prob (beam_search.py:97-107)
+    seq_logprob = final["seq_logprob"][..., 0]  # (bs, beam)
+    sort_idxs = jnp.argsort(-seq_logprob, axis=1)
+    outputs = jnp.take_along_axis(final["outputs"], sort_idxs[..., None], axis=1)
+    log_probs = jnp.take_along_axis(final["log_probs"], sort_idxs[..., None], axis=1)
+
+    outputs = outputs[:, :out_size]
+    log_probs = log_probs[:, :out_size]
+    if out_size == 1:
+        outputs = outputs[:, 0]
+        log_probs = log_probs[:, 0]
+    return outputs, log_probs
+
+
+class BeamSearcher:
+    """Caches jit-compiled beam search callables per (beam, out_size)."""
+
+    def __init__(self, model):
+        self.model = model
+        self._compiled: Dict[Tuple[int, int], Any] = {}
+
+    def __call__(self, params, batch, beam_size: int, out_size: int = 1):
+        key = (beam_size, out_size)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                functools.partial(
+                    beam_search,
+                    self.model,
+                    beam_size=beam_size,
+                    out_size=out_size,
+                )
+            )
+        return self._compiled[key](params, batch=batch)

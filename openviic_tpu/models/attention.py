@@ -1,0 +1,369 @@
+"""Attention kernels + the MultiHeadAttention wrapper.
+
+Reference equivalents (models/modules/attentions.py):
+ - ``ScaledDotProductAttention``          (attentions.py:8-58)
+ - ``AugmentedGeometryScaledDotProductAttention`` (attentions.py:60-114)
+ - ``AugmentedMemoryScaledDotProductAttention``   (attentions.py:116-185)
+ - ``AdaptiveScaledDotProductAttention``  (attentions.py:187-268) — the
+   reference computes the language-signal column with per-position Python
+   loops (attentions.py:255-263); here it is one vectorised einsum.
+ - ``MultiHeadAttention`` wrapper with dropout + post-LN residual and
+   optional AoA gating (attentions.py:270-317).
+
+TPU-first redesign of statefulness: the reference's ``running_keys`` /
+``running_values`` buffers (attentions.py:291-302) become an explicit,
+preallocated KV cache pytree threaded through decode steps.  The cache
+stores *projected* K/V per position — mathematically identical to the
+reference's cache-raw-then-reproject, but O(1) projection per step instead
+of O(t).  Cross-attention K/V over the encoder memory is projected once per
+decode (the reference reprojects every step).
+
+All matmuls accumulate in float32 (``preferred_element_type``) so bf16
+activations stay MXU-friendly without breaking argmax ties in parity mode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from openviic_tpu.builders import META_ATTENTION, build_attention
+from openviic_tpu.models.initializers import (
+    normal_stddev,
+    torch_linear_bias,
+    torch_linear_kernel,
+    xavier_uniform,
+    zeros,
+)
+
+# A cache entry for one MultiHeadAttention: dict with
+#   "k", "v": (bs, L, h, d) projected keys/values (L = max target len for
+#             self-attention, or the memory length for cross-attention).
+# Whether the cache is a precomputed static cross-attention K/V (never
+# updated) is a *python-level* flag (``static_cache``), not a pytree leaf,
+# so it stays out of scan carries.
+Cache = Dict[str, Any]
+
+
+def _attend(
+    q: jnp.ndarray,  # (bs, nq, h, d_k)
+    k: jnp.ndarray,  # (bs, nk, h, d_k)
+    v: jnp.ndarray,  # (bs, nk, h, d_v)
+    d_k: int,
+    mask: Optional[jnp.ndarray],  # (bs, 1|h, nq|1, nk) True = masked
+    bias: Optional[jnp.ndarray] = None,  # additive, (bs, h, nq, nk)
+) -> jnp.ndarray:
+    att = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    att = att / jnp.sqrt(jnp.asarray(d_k, dtype=att.dtype))
+    if mask is not None:
+        att = jnp.where(mask, -jnp.inf, att)
+    if bias is not None:
+        att = att + bias
+    att = jax.nn.softmax(att, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", att, v, preferred_element_type=jnp.float32)
+    return out
+
+
+class _ProjectionMixin:
+    """Shared q/k/v/o projections (xavier kernels, zero biases)."""
+
+    def _dense(self, name: str, features: int) -> nn.Dense:
+        return nn.Dense(features, kernel_init=xavier_uniform, bias_init=zeros, name=name)
+
+    def setup_projections(self, d_model: int, h: int, d_k: int, d_v: int) -> None:
+        self.fc_q = self._dense("fc_q", h * d_k)
+        self.fc_k = self._dense("fc_k", h * d_k)
+        self.fc_v = self._dense("fc_v", h * d_v)
+        self.fc_o = self._dense("fc_o", d_model)
+
+    def project_q(self, queries: jnp.ndarray) -> jnp.ndarray:
+        bs, nq = queries.shape[:2]
+        return self.fc_q(queries).reshape(bs, nq, self.h, self.d_k)
+
+    def project_kv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        bs, n = x.shape[:2]
+        k = self.fc_k(x).reshape(bs, n, self.h, self.d_k)
+        v = self.fc_v(x).reshape(bs, n, self.h, self.d_v)
+        return k, v
+
+    def output(self, out: jnp.ndarray) -> jnp.ndarray:
+        bs, nq = out.shape[:2]
+        return self.fc_o(out.reshape(bs, nq, self.h * self.d_v))
+
+
+@META_ATTENTION.register()
+class ScaledDotProductAttention(nn.Module, _ProjectionMixin):
+    """Plain scaled dot-product MHA kernel (attentions.py:8-58)."""
+
+    config: Any
+
+    def setup(self):
+        cfg = self.config
+        self.d_model, self.h = cfg.D_MODEL, cfg.HEAD
+        self.d_k, self.d_v = cfg.D_KEY, cfg.D_VALUE
+        self.setup_projections(self.d_model, self.h, self.d_k, self.d_v)
+
+    def __call__(self, queries, keys, values, attention_mask=None, **kwargs):
+        q = self.project_q(queries)
+        k = self.fc_k(keys).reshape(keys.shape[0], keys.shape[1], self.h, self.d_k)
+        v = self.fc_v(values).reshape(values.shape[0], values.shape[1], self.h, self.d_v)
+        out = _attend(q, k, v, self.d_k, attention_mask)
+        return self.output(out)
+
+    def attend_cached(self, queries, k, v, attention_mask, **kwargs):
+        """Attention over an externally managed (cached) K/V."""
+        q = self.project_q(queries)
+        out = _attend(q, k, v, self.d_k, attention_mask)
+        return self.output(out)
+
+
+@META_ATTENTION.register()
+class AugmentedGeometryScaledDotProductAttention(nn.Module, _ProjectionMixin):
+    """SDPA + log-ReLU geometric bias (attentions.py:60-114).
+
+    ``relative_geometry_weights``: (bs, h, nq, nk) non-negative weights;
+    the bias added before softmax is log(clamp(g, 1e-6))."""
+
+    config: Any
+
+    def setup(self):
+        cfg = self.config
+        self.d_model, self.h = cfg.D_MODEL, cfg.HEAD
+        self.d_k, self.d_v = cfg.D_KEY, cfg.D_VALUE
+        self.setup_projections(self.d_model, self.h, self.d_k, self.d_v)
+
+    def __call__(
+        self, queries, keys, values, relative_geometry_weights, attention_mask=None,
+        **kwargs,
+    ):
+        q = self.project_q(queries)
+        k, v = self.project_kv(keys)
+        bias = jnp.log(jnp.clip(relative_geometry_weights, min=1e-6))
+        out = _attend(q, k, v, self.d_k, attention_mask, bias=bias)
+        return self.output(out)
+
+
+@META_ATTENTION.register()
+class AugmentedMemoryScaledDotProductAttention(nn.Module, _ProjectionMixin):
+    """SDPA with learnable memory slots appended to K/V (attentions.py:116-185).
+
+    The M memory slots are treated as an unmasked K/V suffix: the padding
+    mask only covers the first nk columns (attentions.py:180)."""
+
+    config: Any
+
+    def setup(self):
+        cfg = self.config
+        self.d_model, self.h = cfg.D_MODEL, cfg.HEAD
+        self.d_k, self.d_v = cfg.D_KEY, cfg.D_VALUE
+        self.m = cfg.MEMORY
+        self.setup_projections(self.d_model, self.h, self.d_k, self.d_v)
+        self.m_k = self.param(
+            "m_k", normal_stddev(1.0 / self.d_k), (1, self.m, self.h * self.d_k)
+        )
+        self.m_v = self.param(
+            "m_v", normal_stddev(1.0 / self.m), (1, self.m, self.h * self.d_v)
+        )
+
+    def __call__(self, queries, keys, values, attention_mask=None, **kwargs):
+        bs, nq = queries.shape[:2]
+        nk = keys.shape[1]
+
+        m_k = jnp.sqrt(jnp.asarray(self.d_k, jnp.float32)) * self.m_k
+        m_v = jnp.sqrt(jnp.asarray(self.m, jnp.float32)) * self.m_v
+        m_k = jnp.broadcast_to(m_k, (bs, self.m, self.h * self.d_k))
+        m_v = jnp.broadcast_to(m_v, (bs, self.m, self.h * self.d_v))
+
+        q = self.project_q(queries)
+        k = jnp.concatenate([self.fc_k(keys), m_k], axis=1).reshape(
+            bs, nk + self.m, self.h, self.d_k
+        )
+        v = jnp.concatenate([self.fc_v(values), m_v], axis=1).reshape(
+            bs, nk + self.m, self.h, self.d_v
+        )
+
+        if attention_mask is not None:
+            # memory columns are never masked (attentions.py:180)
+            mem_cols = jnp.zeros(
+                attention_mask.shape[:-1] + (self.m,), dtype=attention_mask.dtype
+            )
+            attention_mask = jnp.concatenate([attention_mask, mem_cols], axis=-1)
+
+        out = _attend(q, k, v, self.d_k, attention_mask)
+        return self.output(out)
+
+
+@META_ATTENTION.register()
+class AdaptiveScaledDotProductAttention(nn.Module, _ProjectionMixin):
+    """RSTNet adaptive attention (attentions.py:187-268), vectorised.
+
+    Each query position i gets one extra K/V column derived from its own
+    language signal s_i; the reference materialises this with Python loops
+    over positions (attentions.py:255-263).  Here: the extra logit is the
+    diagonal of q·s^T and the extra value row is s_i itself, computed with
+    two einsums and one concat."""
+
+    config: Any
+
+    def setup(self):
+        cfg = self.config
+        self.d_model, self.h = cfg.D_MODEL, cfg.HEAD
+        self.d_k, self.d_v = cfg.D_KEY, cfg.D_VALUE
+        self.setup_projections(self.d_model, self.h, self.d_k, self.d_v)
+        self.fc_s = self._dense("fc_s", self.h * self.d_k)
+
+    def __call__(
+        self, queries, keys, values, language_signals, attention_mask=None, **kwargs
+    ):
+        bs, nq = queries.shape[:2]
+        nk = keys.shape[1]
+
+        q = self.project_q(queries)  # (bs, nq, h, d_k)
+        s = self.fc_s(language_signals).reshape(bs, nq, self.h, self.d_k)
+        k, v = self.project_kv(keys)
+
+        scale = jnp.sqrt(jnp.asarray(self.d_k, jnp.float32))
+        attn = (
+            jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            / scale
+        )
+        if attention_mask is not None:
+            attn = jnp.where(attention_mask, -jnp.inf, attn)
+
+        # language column: logit_i = q_i . s_i / sqrt(d_k) (the diagonal of
+        # q s^T in the reference, attentions.py:254-255)
+        lang_attn = (
+            jnp.einsum("bqhd,bqhd->bhq", q, s, preferred_element_type=jnp.float32)
+            / scale
+        )
+        combined = jnp.concatenate([attn, lang_attn[..., None]], axis=-1)
+        combined = jax.nn.softmax(combined, axis=-1)  # (bs, h, nq, nk+1)
+
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", combined[..., :nk], v,
+            preferred_element_type=jnp.float32,
+        )
+        # extra value row for query i is s_i (attentions.py:260-263)
+        out = out + combined[..., -1].transpose(0, 2, 1)[..., None] * s
+        return self.output(out)
+
+    def attend_cached(self, queries, k, v, attention_mask, language_signals=None,
+                      **kwargs):
+        """Cached-KV variant: queries/language_signals are the current step."""
+        bs, nq = queries.shape[:2]
+        nk = k.shape[1]
+        q = self.project_q(queries)
+        s = self.fc_s(language_signals).reshape(bs, nq, self.h, self.d_k)
+
+        scale = jnp.sqrt(jnp.asarray(self.d_k, jnp.float32))
+        attn = (
+            jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            / scale
+        )
+        if attention_mask is not None:
+            attn = jnp.where(attention_mask, -jnp.inf, attn)
+        lang_attn = (
+            jnp.einsum("bqhd,bqhd->bhq", q, s, preferred_element_type=jnp.float32)
+            / scale
+        )
+        combined = jnp.concatenate([attn, lang_attn[..., None]], axis=-1)
+        combined = jax.nn.softmax(combined, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", combined[..., :nk], v,
+            preferred_element_type=jnp.float32,
+        )
+        out = out + combined[..., -1].transpose(0, 2, 1)[..., None] * s
+        return self.output(out)
+
+
+class MultiHeadAttention(nn.Module):
+    """Kernel wrapper: dropout + post-LN residual + optional AoA gating.
+
+    Matches attentions.py:270-317.  The decode-time KV cache is explicit:
+    ``__call__(..., cache=...)`` returns ``(out, new_cache)``; without a
+    cache it returns just ``out``.
+    """
+
+    config: Any
+
+    def setup(self):
+        cfg = self.config
+        d_model = cfg.D_MODEL
+        self.use_aoa = cfg.USE_AOA
+        self.can_be_stateful = cfg.CAN_BE_STATEFUL
+        if self.use_aoa:
+            self.informative_attention = nn.Dense(
+                d_model,
+                kernel_init=torch_linear_kernel,
+                bias_init=torch_linear_bias(2 * d_model),
+                name="informative_attention",
+            )
+            self.gated_attention = nn.Dense(
+                d_model,
+                kernel_init=torch_linear_kernel,
+                bias_init=torch_linear_bias(2 * d_model),
+                name="gated_attention",
+            )
+        self.attention = build_attention(cfg)
+        self.dropout = nn.Dropout(rate=cfg.DROPOUT)
+        self.layer_norm = nn.LayerNorm(epsilon=1e-5, name="layer_norm")
+
+    def _finish(self, queries, out, train: bool):
+        out = self.dropout(out, deterministic=not train)
+        out = self.layer_norm(queries + out)
+        if self.use_aoa:
+            aoa_input = jnp.concatenate([queries, out], axis=-1)
+            i = self.informative_attention(aoa_input)
+            g = jax.nn.sigmoid(self.gated_attention(aoa_input))
+            out = i * g
+        return out
+
+    def __call__(
+        self,
+        queries,
+        keys,
+        values,
+        padding_mask=None,
+        attention_mask=None,
+        cache: Optional[Cache] = None,
+        decode_index: Optional[jnp.ndarray] = None,
+        static_cache: bool = False,
+        train: bool = False,
+        **kwargs,
+    ):
+        if cache is None:
+            out = self.attention(
+                queries, keys, values, attention_mask=attention_mask, **kwargs
+            )
+            return self._finish(queries, out, train)
+
+        # --- cached decode path ----------------------------------------
+        if static_cache:
+            # cross-attention: K/V precomputed over encoder memory
+            out = self.attention.attend_cached(
+                queries, cache["k"], cache["v"], attention_mask, **kwargs
+            )
+            return self._finish(queries, out, train), cache
+
+        # self-attention: write this step's projected K/V at decode_index
+        k_t, v_t = self.attention.project_kv(keys)  # (bs, 1, h, d)
+        k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_t, decode_index, axis=1)
+        v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_t, decode_index, axis=1)
+        out = self.attention.attend_cached(queries, k, v, attention_mask, **kwargs)
+        new_cache = {"k": k, "v": v}
+        return self._finish(queries, out, train), new_cache
+
+    def make_cache(self, batch_size: int, length: int) -> Cache:
+        cfg = self.config
+        return {
+            "k": jnp.zeros((batch_size, length, cfg.HEAD, cfg.D_KEY)),
+            "v": jnp.zeros((batch_size, length, cfg.HEAD, cfg.D_VALUE)),
+        }
+
+    def precompute_cache(self, memory: jnp.ndarray) -> Cache:
+        """Project cross-attention K/V over the encoder memory once."""
+        k, v = self.attention.project_kv(memory)
+        return {"k": k, "v": v, "static": True}

@@ -1,0 +1,73 @@
+"""BaseTransformer: the architecture shell.
+
+Reference equivalent: models/base_transformer.py:8-53.  The reference's
+``step``/``beam_search`` live on the stateful model; here the model exposes
+pure methods (``encoder_forward``, ``prepare_cache``, ``decode_step``) and
+the beam-search driver (openviic_tpu/decoding/beam_search.py) threads the
+explicit DecodeCache pytree through a jitted scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from openviic_tpu.models.decoders import DecodeCache
+
+
+def make_decode_cache(decoder_config, vocab, batch_size: int) -> DecodeCache:
+    """Build a zero DecodeCache from config shapes (no params required).
+
+    Layout must match the decoder's ``init_cache``; dispatching on the
+    registered architecture name keeps this callable outside ``apply``."""
+    arch = decoder_config.ARCHITECTURE
+    L = vocab.max_caption_length
+    n_layers = decoder_config.LAYERS + (1 if arch == "AdaptiveDecoder" else 0)
+    layers = []
+    for i in range(n_layers):
+        if arch == "AdaptiveDecoder" and i == decoder_config.LAYERS:
+            self_cfg = decoder_config.ADAPTIVE_ATTENTION.SELF_ATTENTION
+        else:
+            self_cfg = decoder_config.ATTENTION.SELF_ATTENTION
+        layers.append(
+            {
+                "self": {
+                    "k": jnp.zeros((batch_size, L, self_cfg.HEAD, self_cfg.D_KEY)),
+                    "v": jnp.zeros((batch_size, L, self_cfg.HEAD, self_cfg.D_VALUE)),
+                },
+                "cross": None,
+            }
+        )
+    return {"layers": layers, "pad": jnp.zeros((batch_size, L), dtype=bool)}
+
+
+class BaseTransformer(nn.Module):
+    """Composition shell: vision embedding -> encoder -> decoder."""
+
+    config: Any
+    vocab: Any
+
+    # -- subclass hooks --------------------------------------------------
+    def encoder_forward(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        raise NotImplementedError
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        """Teacher-forced forward -> (bs, seq_len, vocab) log-probs."""
+        encoder_features, encoder_padding_mask = self.encoder_forward(
+            batch, train=train
+        )
+        return self.decoder(
+            caption_tokens=batch["caption_tokens"],
+            encoder_features=encoder_features,
+            encoder_attention_mask=encoder_padding_mask,
+            train=train,
+        )
+
+    # -- decode API (called under apply) ---------------------------------
+    def prepare_cache(self, cache: DecodeCache, encoder_features) -> DecodeCache:
+        return self.decoder.prepare_cache(cache, encoder_features)
+
+    def decode_step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask):
+        return self.decoder.step(t, tokens_t, cache, encoder_attention_mask)
