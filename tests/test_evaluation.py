@@ -1,0 +1,135 @@
+"""Numerical tests for the native caption-metric implementations.
+
+Expected values are hand-derived from the published metric definitions
+(the same math the COCO-caption suite implements)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from openviic_tpu.evaluation import Bleu, Cider, Meteor, Rouge, compute_scores
+from openviic_tpu.evaluation.ptb_tokenizer import PTBTokenizer
+
+
+def test_bleu_perfect_match():
+    gts = {"0": ["a b c d"]}
+    res = {"0": ["a b c d"]}
+    score, scores = Bleu().compute_score(gts, res)
+    assert len(score) == 4
+    for s in score:
+        assert s == pytest.approx(1.0, abs=1e-5)
+
+
+def test_bleu_partial_match_hand_computed():
+    # hyp "a b c" vs ref "a b c d": p1=3/3, p2=2/2, p3=1/1, p4=0 guesses
+    # brevity penalty: ratio=3/4 -> exp(1 - 4/3)
+    gts = {"0": ["a b c d"]}
+    res = {"0": ["a b c"]}
+    score, _ = Bleu().compute_score(gts, res)
+    bp = math.exp(1 - 1 / ((3 + 1e-15) / (4 + 1e-9)))
+    tiny, small = 1e-15, 1e-9
+    p = [(3 + tiny) / (3 + small), (2 + tiny) / (2 + small), (1 + tiny) / (1 + small), (0 + tiny) / (0 + small)]
+    cum = 1.0
+    expected = []
+    for k in range(4):
+        cum *= p[k]
+        expected.append(cum ** (1 / (k + 1)) * bp)
+    np.testing.assert_allclose(score, expected, rtol=1e-9)
+
+
+def test_bleu_closest_reflen():
+    # two refs of lengths 2 and 6; hyp of length 3 -> closest reflen = 2
+    # -> ratio 3/2 > 1 -> no brevity penalty
+    gts = {"0": ["a b", "a b c d e f"]}
+    res = {"0": ["a b x"]}
+    score, _ = Bleu().compute_score(gts, res)
+    assert score[0] == pytest.approx(2.0 / 3.0, abs=1e-6)
+
+
+def test_rouge_hand_computed():
+    # hyp "a b c d", ref "a c b d": LCS = 3 ("a b d" or "a c d")
+    gts = {"0": ["a c b d"]}
+    res = {"0": ["a b c d"]}
+    score, _ = Rouge().compute_score(gts, res)
+    p = r = 3 / 4
+    beta = 1.2
+    expected = (1 + beta**2) * p * r / (r + beta**2 * p)
+    assert score == pytest.approx(expected, abs=1e-9)
+
+
+def test_rouge_max_over_refs():
+    gts = {"0": ["a b c d", "x y"]}
+    res = {"0": ["a b c d"]}
+    score, _ = Rouge().compute_score(gts, res)
+    assert score == pytest.approx(1.0)
+
+
+def test_cider_identical_distinct_corpus():
+    # two images with fully disjoint captions: every ngram has df=1 ->
+    # idf = log(2); identical hyp/ref -> cosine 1 per n, delta=0
+    # -> per-image score = mean([1,1,1,1]) / 1 * 10 = 10
+    gts = {"0": ["a b c d e"], "1": ["v w x y z"]}
+    res = {"0": ["a b c d e"], "1": ["v w x y z"]}
+    score, scores = Cider().compute_score(gts, res)
+    assert score == pytest.approx(10.0, abs=1e-6)
+    np.testing.assert_allclose(scores, [10.0, 10.0], atol=1e-6)
+
+
+def test_cider_reusable_doc_frequency():
+    train_gts = {"0": ["a b c d e"], "1": ["v w x y z"]}
+    cider = Cider(gts=train_gts)
+    assert cider.doc_frequency is not None
+    res = {"0": ["a b c d e"], "1": ["v w x y z"]}
+    score, _ = cider.compute_score(train_gts, res)
+    assert score == pytest.approx(10.0, abs=1e-6)
+
+
+def test_cider_length_penalty():
+    # same unigrams, different length -> gaussian penalty applies
+    gts = {"0": ["a b c d e f g h"], "1": ["p q r s t u v w"]}
+    res = {"0": ["a b c"], "1": ["p q r"]}
+    score, _ = Cider().compute_score(gts, res)
+    assert 0 < score < 10.0
+
+
+def test_meteor_identical():
+    gts = {"0": ["the cat sat on the mat"]}
+    res = {"0": ["the cat sat on the mat"]}
+    score, scores = Meteor().compute_score(gts, res)
+    n = 6
+    expected = 1.0 * (1 - 0.5 * (1 / n) ** 3)
+    assert scores[0] == pytest.approx(expected, abs=1e-9)
+
+
+def test_meteor_no_match():
+    gts = {"0": ["x y z"]}
+    res = {"0": ["a b c"]}
+    score, scores = Meteor().compute_score(gts, res)
+    assert score == 0.0 and scores[0] == 0.0
+
+
+def test_meteor_stem_stage():
+    gts = {"0": ["the cats are running"]}
+    res = {"0": ["the cat is run"]}
+    _, scores = Meteor().compute_score(gts, res)
+    # "cats"~"cat" and "running"~"run" match via stemming; "the" exact
+    assert scores[0] > 0.2
+
+
+def test_ptb_tokenizer():
+    tok = PTBTokenizer()
+    out = tok.tokenize({"0": ["A man, with a dog (brown), walks."]})
+    # punctuation (incl. -LRB-/-RRB- bracket tags) removed, lowercased
+    assert out["0"] == ["a man with a dog brown walks"]
+    out2 = tok.tokenize({"0": ["He isn't here; she's gone..."]})
+    assert out2["0"] == ["he is n't here she 's gone"]
+
+
+def test_compute_scores_interface():
+    gts = {"0": ["a b c d"], "1": ["x y z w"]}
+    res = {"0": ["a b c d"], "1": ["x y z w"]}
+    all_score, all_scores = compute_scores(gts, res)
+    assert set(all_score.keys()) == {"BLEU", "METEOR", "ROUGE", "CIDEr"}
+    assert all_score["ROUGE"] == pytest.approx(1.0)
+    assert all_score["CIDEr"] == pytest.approx(10.0, abs=1e-6)
