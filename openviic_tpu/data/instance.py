@@ -111,8 +111,13 @@ class InstanceList(dict):
         return 0
 
     def arrays(self) -> Dict[str, np.ndarray]:
-        """Only the ndarray fields — the part of the batch that goes on device."""
-        return {k: v for k, v in self.items() if isinstance(v, np.ndarray)}
+        """Only the numeric ndarray fields — the part of the batch that goes
+        on device (string fields like filenames stay host-side)."""
+        return {
+            k: v
+            for k, v in self.items()
+            if isinstance(v, np.ndarray) and v.dtype.kind in "biufc"
+        }
 
 
 def collate_fn(

@@ -1,0 +1,67 @@
+"""Checkpoint save/load.
+
+Reference equivalent: ``BaseTrainer.save_checkpoint/load_checkpoint``
+(trainers/base_trainer.py:119-153): a single ``last_model`` file holding
+model/optimizer state + RNG states + epoch + trainer flags (``use_rl``,
+``patience``, ``best_val_score``, ``val_loss``); ``best_model`` is a file
+copy on improvement (vi_trainer.py:220-222); the ``Vocab`` is pickled once
+to ``vocab.bin`` (base_trainer.py:26-33).
+
+Here: params/opt_state serialise with flax msgpack; the JAX PRNG key and
+numpy RNG state replace the four torch RNG states.  Same last/best two-slot
+convention, same auto-resume-by-default semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+LAST_NAME = "last_model.ckpt"
+BEST_NAME = "best_model.ckpt"
+
+
+def save_checkpoint(path: str, state: Dict[str, Any], extras: Dict[str, Any]) -> None:
+    """Write the single-file checkpoint (atomically via tmp+rename)."""
+    payload = {
+        "params": serialization.to_bytes(state["params"]),
+        "opt_state": serialization.to_bytes(state["opt_state"]),
+        "step": int(state["step"]),
+        "rng": np.asarray(jax.random.key_data(state["rng"])),
+        "numpy_rng_state": np.random.get_state(),
+        **extras,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(
+    path: str, params_template, opt_state_template
+) -> Optional[Dict[str, Any]]:
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    params = serialization.from_bytes(params_template, payload["params"])
+    opt_state = serialization.from_bytes(opt_state_template, payload["opt_state"])
+    rng = jax.random.wrap_key_data(np.asarray(payload["rng"]))
+    np.random.set_state(payload["numpy_rng_state"])
+    state = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": payload["step"],
+        "rng": rng,
+    }
+    extras = {
+        k: v
+        for k, v in payload.items()
+        if k not in ("params", "opt_state", "step", "rng", "numpy_rng_state")
+    }
+    return {"state": state, **extras}

@@ -1,0 +1,143 @@
+"""Jitted training / evaluation step functions.
+
+Reference equivalents: the XE hot loop (trainers/vi_trainer.py:100-119,
+``NLLLoss(ignore_index=pad)`` over log-softmax outputs,
+base_trainer.py:91) and the SCST loop (vi_trainer.py:121-158).
+
+SCST redesign for TPU: the reference backpropagates through the
+beam-search graph itself; gradients only flow through the selected words'
+log-probabilities, so an equivalent and much cheaper program is
+(1) jitted no-grad beam sampling, (2) host-side CIDEr reward,
+(3) one jitted teacher-forced *rescoring* step whose per-position
+log-probs are masked to zero after each sequence's <eos> — reproducing
+exactly the reference's ``log_probs`` tensor (finished steps contribute 0,
+and the mean is over the full max_len, vi_trainer.py:151) — then
+REINFORCE-with-baseline on those.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def nll_loss(log_probs: jnp.ndarray, targets: jnp.ndarray, ignore_index: int):
+    """Mean negative log-likelihood over non-ignored targets.
+
+    Matches torch ``NLLLoss(ignore_index=...)`` semantics: sum over kept
+    positions / count of kept positions."""
+    vocab = log_probs.shape[-1]
+    flat_lp = log_probs.reshape(-1, vocab)
+    flat_t = targets.reshape(-1)
+    keep = flat_t != ignore_index
+    picked = jnp.take_along_axis(flat_lp, flat_t[:, None], axis=1)[:, 0]
+    picked = jnp.where(keep, picked, 0.0)
+    count = jnp.maximum(keep.sum(), 1)
+    return -picked.sum() / count
+
+
+def make_xe_step(model, optimizer):
+    """Returns a jitted (state, batch) -> (state, loss) XE update."""
+
+    @jax.jit
+    def xe_step(state, batch):
+        rng, new_rng = jax.random.split(state["rng"])
+
+        def loss_fn(params):
+            out = model.apply(params, batch, train=True, rngs={"dropout": rng})
+            return nll_loss(
+                out,
+                batch["shifted_right_caption_tokens"],
+                model.vocab.padding_idx,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+            "rng": new_rng,
+        }
+        return new_state, loss
+
+    return xe_step
+
+
+def make_eval_loss_step(model):
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.apply(params, batch)
+        return nll_loss(
+            out, batch["shifted_right_caption_tokens"], model.vocab.padding_idx
+        )
+
+    return eval_step
+
+
+def scst_log_probs(model, params, batch, sampled, rng=None):
+    """Teacher-forced log-probs of sampled captions, zeroed after <eos>.
+
+    ``sampled``: (bs*beam, L) words emitted by beam search (step t's word at
+    column t).  ``batch`` must already be expanded to bs*beam rows.  The
+    decoder input at position t is the word emitted at t-1 (bos at t=0),
+    matching the decode-time feeding order."""
+    vocab = model.vocab
+    L = vocab.max_caption_length
+    n = sampled.shape[0]
+
+    inputs = jnp.concatenate(
+        [jnp.full((n, 1), vocab.bos_idx, jnp.int32), sampled[:, :-1]], axis=1
+    )
+    kwargs = {}
+    if rng is not None:
+        kwargs = {"train": True, "rngs": {"dropout": rng}}
+    out = model.apply(params, dict(batch, caption_tokens=inputs), **kwargs)
+    picked = jnp.take_along_axis(out, sampled[..., None], axis=2)[..., 0]
+
+    # zero out positions strictly after the first eos (the eos step itself
+    # keeps its log-prob — beam_search.py:48-55 semantics)
+    eos_seen_before = jnp.cumsum(sampled == vocab.eos_idx, axis=1) - (
+        sampled == vocab.eos_idx
+    ).astype(jnp.int32)
+    alive = eos_seen_before == 0
+    return picked * alive
+
+
+def make_scst_grad_step(model, optimizer, beam_size: int):
+    """Returns a jitted (state, batch, sampled, reward) -> (state, loss)."""
+
+    @jax.jit
+    def scst_step(state, batch, sampled, reward):
+        rng, new_rng = jax.random.split(state["rng"])
+        bs = reward.shape[0]
+
+        def loss_fn(params):
+            lp = scst_log_probs(model, params, batch, sampled, rng=rng)
+            lp = lp.reshape(bs, beam_size, -1)
+            reward_baseline = jnp.mean(reward, axis=-1, keepdims=True)
+            # mean over the full max_len incl. zeroed tail (vi_trainer.py:151)
+            loss = -jnp.mean(lp, axis=-1) * (reward - reward_baseline)
+            return loss.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+            "rng": new_rng,
+        }
+        return new_state, loss
+
+    return scst_step

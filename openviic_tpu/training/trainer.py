@@ -1,0 +1,455 @@
+"""Trainers: XE + SCST orchestration with patience-based phase switching.
+
+Reference equivalents: ``BaseTrainer`` (trainers/base_trainer.py:18-159),
+``viTrainer`` (trainers/vi_trainer.py:21-276), ``enTrainer``
+(trainers/en_trainer.py:21-276).  Behavior kept:
+
+ - vocab built once and pickled to ``vocab.bin``;
+ - six loaders (3 feature + 3 dict; dict batch divided by beam size);
+ - Adam + Noam warmup, NLL ignore-pad loss;
+ - ``start()``: XE epochs -> validate loss + CIDEr-on-beam -> patience;
+   on patience, switch to SCST with a fresh Adam at RL_LEARNING_RATE and
+   reload the best checkpoint; second patience exhaustion exits
+   (vi_trainer.py:160-227);
+ - auto-resume from ``last_model`` if present; ``best_model`` copied on
+   improvement; ``get_predictions`` writes ``test_results.json``;
+ - train CIDEr doc-frequencies precomputed from the train captions
+   (vi_trainer.py:35) and reused every SCST iteration;
+ - generated captions deduped with itertools.groupby before scoring
+   (vi_trainer.py:91).
+
+TPU redesign: train/eval steps and beam search are jit-compiled once and
+reused; batches are fixed-shape (bucketed features, globally padded
+captions); the SCST loop is sample (jit) -> reward (host) -> rescore+grad
+(jit) as described in training/steps.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import pickle
+import shutil
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openviic_tpu.builders import META_TRAINER, build_model
+from openviic_tpu.data.datasets import DictionaryDataset, FeatureDataset
+from openviic_tpu.data.loader import DataLoader
+from openviic_tpu.data.vocab import Vocab
+from openviic_tpu.decoding import BeamSearcher
+from openviic_tpu.evaluation import Cider, PTBTokenizer, compute_scores
+from openviic_tpu.training import checkpoint as ckpt
+from openviic_tpu.training.optim import make_optimizer, make_rl_optimizer
+from openviic_tpu.training.steps import (
+    make_eval_loss_step,
+    make_scst_grad_step,
+    make_xe_step,
+)
+from openviic_tpu.utils import setup_logger
+
+logger = setup_logger()
+
+
+def _device_batch(items) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in items.arrays().items()}
+
+
+class BaseTrainer:
+    def __init__(self, config):
+        self.config = config
+        self.checkpoint_path = os.path.join(
+            config.TRAINING.CHECKPOINT_PATH, config.MODEL.NAME
+        )
+        os.makedirs(self.checkpoint_path, exist_ok=True)
+
+        vocab_file = os.path.join(self.checkpoint_path, "vocab.bin")
+        if not os.path.isfile(vocab_file):
+            logger.info("Creating vocab")
+            self.vocab = self.load_vocab(config)
+            with open(vocab_file, "wb") as f:
+                pickle.dump(self.vocab, f)
+        else:
+            logger.info("Loading vocab from %s", vocab_file)
+            with open(vocab_file, "rb") as f:
+                self.vocab = pickle.load(f)
+
+        logger.info("Loading data")
+        (
+            self.train_dataset,
+            self.dev_dataset,
+            self.test_dataset,
+        ) = self.load_feature_datasets(config.DATASET)
+        (
+            self.train_dict_dataset,
+            self.dev_dict_dataset,
+            self.test_dict_dataset,
+        ) = self.load_dict_datasets(config.DATASET)
+
+        ds = config.DATASET
+        self.configuring_hyperparameters(config)
+
+        self.train_dataloader = DataLoader(
+            self.train_dataset, ds.FEATURE_BATCH_SIZE, shuffle=True, seed=13
+        )
+        self.val_dataloader = DataLoader(
+            self.dev_dataset, ds.FEATURE_BATCH_SIZE, shuffle=False
+        )
+        self.test_dataloader = DataLoader(
+            self.test_dataset, ds.FEATURE_BATCH_SIZE, shuffle=False
+        )
+        self.train_dict_dataloader = DataLoader(
+            self.train_dict_dataset,
+            max(1, ds.DICT_BATCH_SIZE // self.training_beam_size),
+            shuffle=True,
+            seed=17,
+        )
+        self.val_dict_dataloader = DataLoader(
+            self.dev_dict_dataset,
+            max(1, ds.DICT_BATCH_SIZE // self.evaluating_beam_size),
+            shuffle=False,
+        )
+        self.test_dict_dataloader = DataLoader(
+            self.test_dict_dataset, 1, shuffle=False
+        )
+
+        logger.info("Building model")
+        self.model = build_model(config.MODEL, self.vocab)
+
+        example = _device_batch(next(iter(self.train_dataloader)))
+        init_rng, state_rng = jax.random.split(jax.random.PRNGKey(42))
+        params = self.model.init(init_rng, example)
+
+        self.optimizer = make_optimizer(
+            d_model=config.MODEL.ENCODER.D_MODEL,
+            warmup=self.warmup,
+            base_lr=config.TRAINING.LEARNING_RATE,
+        )
+        self.state = {
+            "params": params,
+            "opt_state": self.optimizer.init(params),
+            "step": 0,
+            "rng": state_rng,
+        }
+        self.xe_step = make_xe_step(self.model, self.optimizer)
+        self.eval_step = make_eval_loss_step(self.model)
+        self.beam_searcher = BeamSearcher(self.model)
+        self.scst_step = None  # built lazily when switching to RL
+        self.use_rl = False
+        self.epoch = 0
+
+    # -- hooks ----------------------------------------------------------
+    def configuring_hyperparameters(self, config) -> None:
+        self.epoch = 0
+        self.warmup = config.TRAINING.WARMUP
+        self.score_metric = config.TRAINING.SCORE
+        self.rl_learning_rate = config.TRAINING.RL_LEARNING_RATE
+        self.get_scores = config.TRAINING.GET_SCORES
+        self.training_beam_size = config.TRAINING.TRAINING_BEAM_SIZE
+        self.evaluating_beam_size = config.TRAINING.EVALUATING_BEAM_SIZE
+        self.patience_limit = config.TRAINING.PATIENCE
+
+    def load_vocab(self, config) -> Vocab:
+        return Vocab(config.DATASET)
+
+    def load_feature_datasets(self, config):
+        return (
+            FeatureDataset(config.JSON_PATH.TRAIN, self.vocab, config),
+            FeatureDataset(config.JSON_PATH.DEV, self.vocab, config),
+            FeatureDataset(config.JSON_PATH.TEST, self.vocab, config),
+        )
+
+    def load_dict_datasets(self, config):
+        return (
+            DictionaryDataset(config.JSON_PATH.TRAIN, self.vocab, config),
+            DictionaryDataset(config.JSON_PATH.DEV, self.vocab, config),
+            DictionaryDataset(config.JSON_PATH.TEST, self.vocab, config),
+        )
+
+    # -- caption post-processing (language-specific hook) ----------------
+    def postprocess_pairs(self, gts: Dict, gens: Dict):
+        """Hook for language-specific tokenization of gts/gens dicts."""
+        return gts, gens
+
+    # -- phases ----------------------------------------------------------
+    def train(self) -> float:
+        running_loss = 0.0
+        n = 0
+        t0 = time.time()
+        for items in self.train_dataloader:
+            batch = _device_batch(items)
+            self.state, loss = self.xe_step(self.state, batch)
+            running_loss += float(loss)
+            n += 1
+        dt = time.time() - t0
+        avg = running_loss / max(n, 1)
+        logger.info(
+            "Epoch %d - XE loss %.4f (%d it, %.1fs, %.1f it/s)",
+            self.epoch, avg, n, dt, n / max(dt, 1e-9),
+        )
+        return avg
+
+    def _ensure_scst(self) -> None:
+        if self.scst_step is None:
+            rl_optimizer = make_rl_optimizer(self.rl_learning_rate)
+            self.state["opt_state"] = rl_optimizer.init(self.state["params"])
+            self.scst_step = make_scst_grad_step(
+                self.model, rl_optimizer, self.training_beam_size
+            )
+            self.train_cider = Cider(
+                {
+                    f"{idx}": caption
+                    for idx, caption in enumerate(self.train_dataset.captions)
+                }
+            )
+
+    def train_scst(self) -> float:
+        self._ensure_scst()
+        beam = self.training_beam_size
+        running_loss = running_reward = running_baseline = 0.0
+        n = 0
+        for items in self.train_dict_dataloader:
+            batch = _device_batch(items)
+            outs, _ = self.beam_searcher(
+                self.state["params"], batch, beam_size=beam, out_size=beam
+            )
+            bs = outs.shape[0]
+            sampled = np.asarray(outs).reshape(bs * beam, -1)
+
+            caps_gen = self.vocab.decode_caption(sampled, join_words=True)
+            caps_gt = list(
+                itertools.chain(*([a] * beam for a in items["captions"]))
+            )
+            gens = {f"{i}": [c] for i, c in enumerate(caps_gen)}
+            gts = {f"{i}": c for i, c in enumerate(caps_gt)}
+            gts, gens = self.postprocess_pairs(gts, gens)
+            reward = self.train_cider.compute_score(gts, gens)[1].astype(np.float32)
+            reward = jnp.asarray(reward.reshape(bs, beam))
+
+            expanded = {k: jnp.repeat(v, beam, axis=0) for k, v in batch.items()}
+            self.state, loss = self.scst_step(
+                self.state, expanded, jnp.asarray(sampled), reward
+            )
+            running_loss += float(loss)
+            running_reward += float(reward.mean())
+            running_baseline += float(reward.mean())
+            n += 1
+        avg = running_loss / max(n, 1)
+        logger.info(
+            "Epoch %d - SCST loss %.4f reward %.4f", self.epoch, avg,
+            running_reward / max(n, 1),
+        )
+        return avg
+
+    # -- evaluation ------------------------------------------------------
+    def evaluate_loss(self, dataloader: DataLoader) -> float:
+        running_loss = 0.0
+        n = 0
+        for items in dataloader:
+            batch = _device_batch(items)
+            loss = self.eval_step(self.state["params"], batch)
+            running_loss += float(loss)
+            n += 1
+        val_loss = running_loss / max(n, 1)
+        logger.info("Epoch %d - validation loss %.4f", self.epoch, val_loss)
+        return val_loss
+
+    def _decode_loader(self, dataloader: DataLoader, beam_size: int):
+        """Yields (it, items, list_of_caption_word_lists)."""
+        for it, items in enumerate(dataloader):
+            batch = _device_batch(items)
+            outs, _ = self.beam_searcher(
+                self.state["params"], batch, beam_size=beam_size, out_size=1
+            )
+            caps_gen = self.vocab.decode_caption(
+                np.asarray(outs).reshape(-1, self.vocab.max_caption_length),
+                join_words=False,
+            )
+            yield it, items, caps_gen
+
+    def evaluate_metrics(self, dataloader: DataLoader) -> Dict[str, float]:
+        gens, gts = {}, {}
+        for it, items, caps_gen in self._decode_loader(
+            dataloader, self.evaluating_beam_size
+        ):
+            for i, (gts_i, gen_i) in enumerate(zip(items["captions"], caps_gen)):
+                gen_i = " ".join(k for k, _ in itertools.groupby(gen_i))
+                gens[f"{it}_{i}"] = [gen_i]
+                gts[f"{it}_{i}"] = gts_i
+        gts, gens = self.postprocess_pairs(gts, gens)
+        scores, _ = compute_scores(gts, gens)
+        # BLEU returns a list of four values; expose BLEU-4 under SCORE keys
+        flat = dict(scores)
+        if isinstance(flat.get("BLEU"), (list, tuple)):
+            bleu = flat.pop("BLEU")
+            for i, b in enumerate(bleu, start=1):
+                flat[f"BLEU-{i}"] = b
+            flat["BLEU"] = bleu[-1]
+        return flat
+
+    # -- checkpointing ---------------------------------------------------
+    def save_checkpoint(self, extras: Dict) -> None:
+        ckpt.save_checkpoint(
+            os.path.join(self.checkpoint_path, ckpt.LAST_NAME),
+            self.state,
+            {"epoch": self.epoch, **extras},
+        )
+
+    def load_checkpoint(self, fname: str) -> Optional[Dict]:
+        loaded = ckpt.load_checkpoint(
+            fname, self.state["params"], self.state["opt_state"]
+        )
+        if loaded is None:
+            return None
+        logger.info("Loaded checkpoint from %s (epoch %s)", fname, loaded.get("epoch"))
+        self.state = loaded["state"]
+        return loaded
+
+    # -- main loop -------------------------------------------------------
+    def start(self, max_epochs: Optional[int] = None) -> None:
+        last = os.path.join(self.checkpoint_path, ckpt.LAST_NAME)
+        best_file = os.path.join(self.checkpoint_path, ckpt.BEST_NAME)
+        loaded = self.load_checkpoint(last)
+        if loaded is not None:
+            use_rl = loaded["use_rl"]
+            best_val_score = loaded["best_val_score"]
+            patience = loaded["patience"]
+            self.epoch = loaded["epoch"]
+            if use_rl:
+                self._ensure_scst()
+        else:
+            use_rl = False
+            best_val_score = 0.0
+            patience = 0
+        self.use_rl = use_rl
+
+        epochs_run = 0
+        while True:
+            if not self.use_rl:
+                self.train()
+            else:
+                self.train_scst()
+
+            val_loss = self.evaluate_loss(self.val_dataloader)
+            scores = self.evaluate_metrics(self.val_dict_dataloader)
+            logger.info("Validation scores %s", scores)
+            val_score = scores[self.score_metric]
+
+            best = False
+            if val_score >= best_val_score:
+                best_val_score = val_score
+                patience = 0
+                best = True
+            else:
+                patience += 1
+
+            switch_to_rl = False
+            exit_train = False
+            if patience == self.patience_limit:
+                if not self.use_rl:
+                    self.use_rl = True
+                    switch_to_rl = True
+                    patience = 0
+                    self._ensure_scst()
+                    logger.info("Switching to RL")
+                else:
+                    logger.info("patience reached.")
+                    exit_train = True
+
+            if switch_to_rl and not best and os.path.isfile(best_file):
+                self.load_checkpoint(best_file)
+                # fresh RL optimizer state over the reloaded params
+                self.scst_step = None
+                self._ensure_scst()
+
+            self.save_checkpoint(
+                {
+                    "val_loss": val_loss,
+                    "best_val_score": best_val_score,
+                    "patience": patience,
+                    "use_rl": self.use_rl,
+                }
+            )
+            if best:
+                shutil.copyfile(last, best_file)
+
+            if exit_train:
+                break
+            self.epoch += 1
+            epochs_run += 1
+            if max_epochs is not None and epochs_run >= max_epochs:
+                logger.info("Reached max_epochs=%s", max_epochs)
+                break
+
+    # -- test-set predictions -------------------------------------------
+    def get_predictions(self, get_scores: bool = True) -> None:
+        best_file = os.path.join(self.checkpoint_path, ckpt.BEST_NAME)
+        if not os.path.isfile(best_file):
+            raise FileNotFoundError(
+                "Prediction requires a trained model: no best_model checkpoint "
+                f"at {best_file}"
+            )
+        self.load_checkpoint(best_file)
+
+        results = []
+        overall_gens, overall_gts = {}, {}
+        for it, items, caps_gen in self._decode_loader(
+            self.test_dict_dataloader, self.evaluating_beam_size
+        ):
+            gts_batch, gens_batch = {}, {}
+            for i, (gts_i, gen_i) in enumerate(zip(items["captions"], caps_gen)):
+                gen_i = " ".join(k for k, _ in itertools.groupby(gen_i))
+                gens_batch[f"{it}_{i}"] = gen_i
+                gts_batch[f"{it}_{i}"] = gts_i
+                overall_gens[f"{it}_{i}"] = [gen_i]
+                overall_gts[f"{it}_{i}"] = gts_i
+            results.append(
+                {
+                    "image_id": [int(x) for x in np.atleast_1d(items["image_id"])],
+                    "filename": [str(x) for x in np.atleast_1d(items["filename"])],
+                    "gens": gens_batch,
+                    "gts": gts_batch,
+                }
+            )
+
+        if get_scores:
+            overall_gts, overall_gens = self.postprocess_pairs(
+                overall_gts, overall_gens
+            )
+            scores, _ = compute_scores(overall_gts, overall_gens)
+            logger.info("Evaluation scores on test set: %s", scores)
+        else:
+            scores = {}
+
+        with open(
+            os.path.join(self.checkpoint_path, "test_results.json"), "w+"
+        ) as f:
+            json.dump({"results": results, **scores}, f, ensure_ascii=False)
+
+
+@META_TRAINER.register()
+class viTrainer(BaseTrainer):
+    """Vietnamese trainer: captions scored as-is (vi_trainer.py:21)."""
+
+
+@META_TRAINER.register()
+class enTrainer(BaseTrainer):
+    """English trainer: gts/gens PTB-tokenized before scoring
+    (en_trainer.py:35,96-97,145)."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        self._ptb = PTBTokenizer()
+
+    def postprocess_pairs(self, gts: Dict, gens: Dict):
+        ptb = getattr(self, "_ptb", None) or PTBTokenizer()
+        gts_tok = ptb.tokenize({k: list(v) for k, v in gts.items()})
+        gens_tok = ptb.tokenize(
+            {k: (v if isinstance(v, list) else [v]) for k, v in gens.items()}
+        )
+        return gts_tok, gens_tok

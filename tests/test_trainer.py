@@ -1,0 +1,105 @@
+"""End-to-end trainer tests on the tiny synthetic dataset (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from openviic_tpu.config import ConfigNode
+from tests.conftest import make_dataset_config
+from tests.helpers import model_config
+
+
+def full_config(tmp_path, root, **model_kwargs):
+    ds = make_dataset_config(root).to_dict()
+    model = model_config(**model_kwargs).to_dict()
+    return ConfigNode(
+        {
+            "TRAINER": "viTrainer",
+            "DATASET": ds,
+            "TRAINING": {
+                "CHECKPOINT_PATH": str(tmp_path / "saved_models"),
+                "LEARNING_RATE": 1.0,
+                "RL_LEARNING_RATE": 5e-6,
+                "WARMUP": 100,
+                "SCORE": "CIDEr",
+                "GET_SCORES": True,
+                "TRAINING_BEAM_SIZE": 3,
+                "EVALUATING_BEAM_SIZE": 2,
+                "PATIENCE": 5,
+            },
+            "MODEL": model,
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory, tiny_dataset_dir):
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("trainer")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    return build_trainer(cfg)
+
+
+def test_xe_epoch_reduces_loss(trainer):
+    losses = [trainer.train() for _ in range(4)]
+    assert losses[-1] < losses[0], f"XE loss did not decrease: {losses}"
+
+
+def test_evaluate_loss_and_metrics(trainer):
+    val_loss = trainer.evaluate_loss(trainer.val_dataloader)
+    assert np.isfinite(val_loss)
+    scores = trainer.evaluate_metrics(trainer.val_dict_dataloader)
+    assert "CIDEr" in scores and "BLEU" in scores and "ROUGE" in scores
+    assert all(np.isfinite(v) for v in scores.values())
+
+
+def test_checkpoint_save_load_roundtrip(trainer):
+    import jax
+
+    trainer.save_checkpoint(
+        {"val_loss": 1.0, "best_val_score": 0.5, "patience": 1, "use_rl": False}
+    )
+    params_before = jax.tree.leaves(trainer.state["params"])
+    step_before = trainer.state["step"]
+
+    # mutate then reload
+    trainer.state = dict(trainer.state, step=step_before + 100)
+    loaded = trainer.load_checkpoint(
+        os.path.join(trainer.checkpoint_path, "last_model.ckpt")
+    )
+    assert loaded["best_val_score"] == 0.5
+    assert trainer.state["step"] == step_before
+    for a, b in zip(params_before, jax.tree.leaves(trainer.state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scst_epoch_runs(trainer):
+    loss = trainer.train_scst()
+    assert np.isfinite(loss)
+    assert trainer.scst_step is not None
+
+
+def test_full_start_loop_and_predictions(tmp_path_factory, tiny_dataset_dir):
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("trainer_loop")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    tr = build_trainer(cfg)
+    tr.start(max_epochs=2)
+    assert os.path.isfile(os.path.join(tr.checkpoint_path, "last_model.ckpt"))
+    assert os.path.isfile(os.path.join(tr.checkpoint_path, "best_model.ckpt"))
+
+    tr.get_predictions(get_scores=True)
+    results_file = os.path.join(tr.checkpoint_path, "test_results.json")
+    assert os.path.isfile(results_file)
+    import json
+
+    with open(results_file) as f:
+        data = json.load(f)
+    assert "results" in data and "CIDEr" in data
+
+    # resume: a fresh trainer picks up from last_model
+    tr2 = build_trainer(cfg)
+    tr2.start(max_epochs=1)
