@@ -1,0 +1,15 @@
+from openviic_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    make_sharded_xe_step,
+    param_shardings,
+    replicate_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicate_sharding",
+    "param_shardings",
+    "make_sharded_xe_step",
+]

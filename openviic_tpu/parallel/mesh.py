@@ -1,0 +1,184 @@
+"""Device mesh + sharding rules.
+
+The reference is strictly single-device (SURVEY.md §2.2: zero occurrences
+of any distributed primitive; ``model.to(device)`` at
+builders/model_builder.py:6-9 is its entire device model).  The TPU-native
+replacement is one ``jax.sharding.Mesh``:
+
+ - **data axis**: batch sharded, parameters replicated; XLA inserts the
+   gradient all-reduce over ICI (DCN across slices) — no hand-written
+   collectives at this model scale.
+ - **model axis** (optional tensor parallelism): Megatron-style layout for
+   the attention and FFN projections — column-parallel fc_q/fc_k/fc_v and
+   FFN fc1 (output dim sharded), row-parallel fc_o and FFN fc2 (input dim
+   sharded).  Expressed purely as NamedShardings on the param pytree; XLA
+   emits the reduce-scatter/all-reduce pattern.
+
+These are ~50M-param models, so TP is a demonstrator (SURVEY.md §2.2); DP
+is the production path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, PartitionSpec) — first match wins.  Paths look like
+# "params/encoder/layer_0/mhatt/attention/fc_q/kernel".
+_TP_RULES = [
+    (re.compile(r"(fc_q|fc_k|fc_v|fc_s)/kernel$"), P(None, "model")),
+    (re.compile(r"(fc_q|fc_k|fc_v|fc_s)/bias$"), P("model")),
+    (re.compile(r"fc_o/kernel$"), P("model", None)),
+    (re.compile(r"pwff/fc1/kernel$"), P(None, "model")),
+    (re.compile(r"pwff/fc1/bias$"), P("model")),
+    (re.compile(r"pwff/fc2/kernel$"), P("model", None)),
+    # the big vocab projection: shard the vocab dim
+    (re.compile(r"decoder/fc/kernel$"), P(None, "model")),
+]
+
+
+def make_mesh(
+    axis_sizes: Optional[Dict[str, int]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a mesh; default = all devices on one 'data' axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if axis_sizes is None:
+        axis_sizes = {"data": len(devices)}
+    names = tuple(axis_sizes.keys())
+    shape = tuple(axis_sizes.values())
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(
+            f"mesh shape {axis_sizes} needs {int(np.prod(shape))} devices, "
+            f"got {len(devices)}"
+        )
+    return Mesh(np.asarray(devices).reshape(shape), names)
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the 'data' axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for params: TP rules when the mesh has a
+    'model' axis, fully replicated otherwise."""
+    use_tp = "model" in mesh.axis_names
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(path: str, leaf) -> P:
+        if not use_tp:
+            return P()
+        for pattern, spec in _TP_RULES:
+            if pattern.search(path):
+                # rank guard: don't apply 2-d specs to 1-d leaves
+                if len([s for s in spec]) <= leaf.ndim:
+                    return spec
+        return P()
+
+    def path_str(path) -> str:
+        return "/".join(
+            p.key if hasattr(p, "key") else str(getattr(p, "idx", p))
+            for p in path
+        )
+
+    specs = {path_str(path): spec_for(path_str(path), leaf) for path, leaf in flat}
+
+    def to_sharding(path, leaf):
+        return NamedSharding(mesh, specs[path_str(path)])
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def make_sharded_xe_step(model, optimizer, mesh: Mesh):
+    """XE train step jitted with explicit shardings over the mesh.
+
+    State (params/opt_state) follows ``param_shardings``; the batch is
+    sharded over 'data'.  XLA inserts the gradient collectives."""
+    import jax.numpy as jnp
+    import optax
+
+    from openviic_tpu.training.steps import nll_loss
+
+    def xe_step(state, batch):
+        rng = jax.random.fold_in(state["rng"], state["step"])
+
+        def loss_fn(params):
+            out = model.apply(params, batch, train=True, rngs={"dropout": rng})
+            return nll_loss(
+                out, batch["shifted_right_caption_tokens"], model.vocab.padding_idx
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        return (
+            {
+                "params": params,
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+                "rng": state["rng"],
+            },
+            loss,
+        )
+
+    return jax.jit(xe_step, donate_argnums=(0,))
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a train-state pytree onto the mesh (params per TP rules,
+    opt_state following params, scalars replicated)."""
+    p_sh = param_shardings(state["params"], mesh)
+    repl = replicate_sharding(mesh)
+
+    params = jax.device_put(state["params"], p_sh)
+
+    # optimizer state mirrors param structure where it embeds param-shaped
+    # leaves (adam mu/nu); replicate everything else
+    def put_opt(x):
+        return jax.device_put(x, repl)
+
+    try:
+        import optax
+
+        def match(opt_leaf_tree):
+            return jax.device_put(opt_leaf_tree, p_sh)
+
+        opt_state = jax.tree.map(
+            lambda x: x,
+            state["opt_state"],
+        )
+        # adam: ScaleByAdamState(count, mu, nu) — mu/nu are param-shaped
+        new_opt = []
+        for entry in state["opt_state"]:
+            if hasattr(entry, "mu") and hasattr(entry, "nu"):
+                new_opt.append(
+                    entry._replace(
+                        count=jax.device_put(entry.count, repl),
+                        mu=jax.device_put(entry.mu, p_sh),
+                        nu=jax.device_put(entry.nu, p_sh),
+                    )
+                )
+            else:
+                new_opt.append(jax.tree.map(put_opt, entry))
+        opt_state = tuple(new_opt)
+    except Exception:
+        opt_state = jax.device_put(state["opt_state"], repl)
+
+    return {
+        "params": params,
+        "opt_state": opt_state,
+        "step": jax.device_put(state["step"], repl),
+        "rng": jax.device_put(state["rng"], repl),
+    }
