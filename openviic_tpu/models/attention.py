@@ -56,6 +56,18 @@ def _attend(
     mask: Optional[jnp.ndarray],  # (bs, 1|h, nq|1, nk) True = masked
     bias: Optional[jnp.ndarray] = None,  # additive, (bs, h, nq, nk)
 ) -> jnp.ndarray:
+    from openviic_tpu.ops import fused_attention, pallas_enabled
+
+    if pallas_enabled():
+        # mask becomes an additive -1e30 bias; fully-masked rows then give a
+        # uniform distribution instead of NaN — observable outputs identical
+        # (padded query rows are zeroed by the callers, encoders.py:20).
+        total_bias = bias
+        if mask is not None:
+            mask_bias = jnp.where(mask, -1e30, 0.0)
+            total_bias = mask_bias if total_bias is None else total_bias + mask_bias
+        return fused_attention(q, k, v, bias=total_bias, sm_scale=1.0 / (d_k**0.5))
+
     att = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     att = att / jnp.sqrt(jnp.asarray(d_k, dtype=att.dtype))
     if mask is not None:
