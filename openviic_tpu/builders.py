@@ -37,6 +37,7 @@ def _ensure_registered() -> None:
     """Import the module zoo so registration decorators have run.
 
     Lazy to avoid a circular import (models import the registries above)."""
+    import openviic_tpu.data.word_embedding  # noqa: F401
     import openviic_tpu.models  # noqa: F401
 
 
@@ -82,6 +83,7 @@ def build_vision_embedding(config):
 def build_word_embedding(config):
     """Word embeddings may be a single name or a list of names (reference:
     builders/word_embedding_builder.py:5-14)."""
+    _ensure_registered()
     name = config.WORD_EMBEDDING
     if name is None:
         return None

@@ -9,6 +9,8 @@ the reference shells out to three Java jars, SURVEY.md §2.1).
 ``({metric: score}, {metric: per_image_scores})``.
 """
 
+import os
+
 from openviic_tpu.evaluation.bleu import Bleu
 from openviic_tpu.evaluation.meteor import Meteor
 from openviic_tpu.evaluation.rouge import Rouge
@@ -16,11 +18,26 @@ from openviic_tpu.evaluation.cider import Cider
 from openviic_tpu.evaluation.ptb_tokenizer import PTBTokenizer
 
 
+def _metrics():
+    """Prefer the native C++ METEOR/CIDEr when built (bit-identical to the
+    Python implementations — tests/test_native.py); OPENVIIC_NATIVE=0
+    disables."""
+    meteor, cider = Meteor(), Cider()
+    if os.environ.get("OPENVIIC_NATIVE", "1") != "0":
+        try:
+            from openviic_tpu import native
+
+            if native.available():
+                meteor, cider = native.NativeMeteor(), native.NativeCider()
+        except Exception:
+            pass
+    return (Bleu(), meteor, Rouge(), cider)
+
+
 def compute_scores(gts, gen):
-    metrics = (Bleu(), Meteor(), Rouge(), Cider())
     all_score = {}
     all_scores = {}
-    for metric in metrics:
+    for metric in _metrics():
         score, scores = metric.compute_score(gts, gen)
         all_score[str(metric)] = score
         all_scores[str(metric)] = scores

@@ -201,12 +201,21 @@ class BaseTrainer:
             self.scst_step = make_scst_grad_step(
                 self.model, rl_optimizer, self.training_beam_size
             )
-            self.train_cider = Cider(
-                {
-                    f"{idx}": caption
-                    for idx, caption in enumerate(self.train_dataset.captions)
-                }
-            )
+            train_gts = {
+                f"{idx}": caption
+                for idx, caption in enumerate(self.train_dataset.captions)
+            }
+            # the SCST reward runs on the host every iteration — use the
+            # native C++ CIDEr when built (exactly matches the Python one)
+            try:
+                from openviic_tpu import native
+
+                if native.available():
+                    self.train_cider = native.NativeCider(gts=train_gts)
+                else:
+                    self.train_cider = Cider(train_gts)
+            except Exception:
+                self.train_cider = Cider(train_gts)
 
     def train_scst(self) -> float:
         self._ensure_scst()
