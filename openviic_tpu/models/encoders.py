@@ -239,16 +239,20 @@ class DualCollaborativeLevelEncoder(nn.Module):
             combined = jnp.concatenate([region_features, grid_features], axis=1)
             combined = combined + pos(combined)
 
+            # attention over [regions|grids] is locally constrained by the
+            # visibility masks; query-row zeroing uses the plain padding
+            # masks (the reference passes the 4-D mask into masked_fill,
+            # encoders.py:197-206 — unbroadcastable, latent bug; fixed here)
             region_features = l_r2g(
                 queries=region_features, keys=combined, values=combined,
                 relative_geometry_weights=g[:, :, :n_regions, :],
-                padding_mask=region2all_mask, attention_mask=region2all_mask,
+                padding_mask=region_padding_mask, attention_mask=region2all_mask,
                 train=train,
             )
             grid_features = l_g2r(
                 queries=grid_features, keys=combined, values=combined,
                 relative_geometry_weights=g[:, :, n_regions:, :],
-                padding_mask=grid2all_mask, attention_mask=grid2all_mask,
+                padding_mask=grid_padding_mask, attention_mask=grid2all_mask,
                 train=train,
             )
 

@@ -106,10 +106,33 @@ class GeometricDualFeatureEmbedding(nn.Module):
         grid_masks = generate_padding_mask(grid_features, padding_idx=0)
 
         grid_size = int(grid_boxes.shape[1] ** 0.5)
+        n_regions = region_features.shape[1]
+        n_grids = grid_features.shape[1]
         region2grid_masks = jnp.asarray(get_combine_masks(region_boxes, grid_size))
         grid2region_masks = jnp.transpose(region2grid_masks, (0, 1, 3, 2))
-        region2all_masks = jnp.concatenate([region_masks, region2grid_masks], axis=-1)
-        grid2all_masks = jnp.concatenate([grid2region_masks, grid_masks], axis=-1)
+        # The reference concatenates (bs,1,1,n_r) padding masks directly with
+        # the (bs,1,n_r,n_g) visibility masks (vision_embeddings.py:62-63),
+        # which cannot broadcast — a latent bug in its never-exercised DLCT
+        # path.  Correct semantics: broadcast the key-padding mask over the
+        # query dim first.
+        region2all_masks = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    region_masks, region_masks.shape[:2] + (n_regions, n_regions)
+                ),
+                region2grid_masks,
+            ],
+            axis=-1,
+        )
+        grid2all_masks = jnp.concatenate(
+            [
+                grid2region_masks,
+                jnp.broadcast_to(
+                    grid_masks, grid_masks.shape[:2] + (n_grids, n_grids)
+                ),
+            ],
+            axis=-1,
+        )
 
         region_features = self.dropout(
             self.region_proj(region_features), deterministic=not train
