@@ -46,18 +46,30 @@ from openviic_tpu.decoding import BeamSearcher
 from openviic_tpu.evaluation import Cider, PTBTokenizer, compute_scores
 from openviic_tpu.training import checkpoint as ckpt
 from openviic_tpu.training.optim import make_optimizer, make_rl_optimizer
+from openviic_tpu.training.optim import noam_schedule
 from openviic_tpu.training.steps import (
     make_eval_loss_step,
     make_scst_grad_step,
     make_xe_step,
 )
 from openviic_tpu.utils import setup_logger
+from openviic_tpu.utils.metrics import (
+    MetricsLogger,
+    Profiler,
+    StepTimer,
+    maybe_enable_nan_checks,
+)
 
 logger = setup_logger()
 
 
-def _device_batch(items) -> Dict[str, jnp.ndarray]:
-    return {k: jnp.asarray(v) for k, v in items.arrays().items()}
+def _device_batch(items, mesh=None) -> Dict[str, jnp.ndarray]:
+    arrays = {k: jnp.asarray(v) for k, v in items.arrays().items()}
+    if mesh is not None:
+        from openviic_tpu.parallel import batch_sharding
+
+        arrays = jax.device_put(arrays, batch_sharding(mesh))
+    return arrays
 
 
 class BaseTrainer:
@@ -94,8 +106,25 @@ class BaseTrainer:
         ds = config.DATASET
         self.configuring_hyperparameters(config)
 
+        # data parallelism: shard the feature-batch axis over all devices
+        # (SURVEY.md §2.2 — the TPU-native replacement for the reference's
+        # single-device model).  Requires the train batch divisible by the
+        # device count, so the train loader drops remainders under DP.
+        self.mesh = None
+        import math as _math
+
+        data_axis = _math.gcd(int(ds.FEATURE_BATCH_SIZE), len(jax.devices()))
+        if data_axis > 1 and config.TRAINING.get("DATA_PARALLEL", True):
+            from openviic_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh(
+                {"data": data_axis}, devices=jax.devices()[:data_axis]
+            )
+            logger.info("Data-parallel over %d devices", data_axis)
+
         self.train_dataloader = DataLoader(
-            self.train_dataset, ds.FEATURE_BATCH_SIZE, shuffle=True, seed=13
+            self.train_dataset, ds.FEATURE_BATCH_SIZE, shuffle=True, seed=13,
+            drop_last=self.mesh is not None,
         )
         self.val_dataloader = DataLoader(
             self.dev_dataset, ds.FEATURE_BATCH_SIZE, shuffle=False
@@ -130,18 +159,39 @@ class BaseTrainer:
             warmup=self.warmup,
             base_lr=config.TRAINING.LEARNING_RATE,
         )
+        self.lr_schedule = noam_schedule(
+            config.MODEL.ENCODER.D_MODEL, self.warmup, config.TRAINING.LEARNING_RATE
+        )
         self.state = {
             "params": params,
             "opt_state": self.optimizer.init(params),
             "step": 0,
             "rng": state_rng,
         }
-        self.xe_step = make_xe_step(self.model, self.optimizer)
+        if self.mesh is not None:
+            from openviic_tpu.parallel import make_sharded_xe_step
+            from openviic_tpu.parallel.mesh import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
+            self.xe_step = make_sharded_xe_step(self.model, self.optimizer, self.mesh)
+        else:
+            self.xe_step = make_xe_step(self.model, self.optimizer)
         self.eval_step = make_eval_loss_step(self.model)
         self.beam_searcher = BeamSearcher(self.model)
         self.scst_step = None  # built lazily when switching to RL
         self.use_rl = False
         self.epoch = 0
+
+        # observability (SURVEY.md §5): structured metrics + profiler hooks
+        tr = config.TRAINING
+        maybe_enable_nan_checks(bool(tr.get("DEBUG_NANS", False)))
+        self.metrics = MetricsLogger(
+            self.checkpoint_path, tensorboard=bool(tr.get("TENSORBOARD", False))
+        )
+        self.log_every = int(tr.get("LOG_EVERY", 50))
+        self.profiler = (
+            Profiler(self.checkpoint_path) if tr.get("PROFILE", False) else None
+        )
 
     # -- hooks ----------------------------------------------------------
     def configuring_hyperparameters(self, config) -> None:
@@ -181,11 +231,27 @@ class BaseTrainer:
         running_loss = 0.0
         n = 0
         t0 = time.time()
+        timer = StepTimer()
         for items in self.train_dataloader:
-            batch = _device_batch(items)
+            batch = _device_batch(items, self.mesh)
             self.state, loss = self.xe_step(self.state, batch)
             running_loss += float(loss)
             n += 1
+            timer.update(items.batch_size)
+            step = int(self.state["step"])
+            if self.profiler is not None:
+                self.profiler.step(step)
+            if step % self.log_every == 0:
+                self.metrics.log(
+                    step,
+                    {
+                        "xe_loss": float(loss),
+                        "lr": float(self.lr_schedule(step - 1)),
+                        "captions_per_sec": timer.rate,
+                        "epoch": self.epoch,
+                    },
+                    prefix="train/",
+                )
         dt = time.time() - t0
         avg = running_loss / max(n, 1)
         logger.info(
@@ -248,6 +314,17 @@ class BaseTrainer:
             running_reward += float(reward.mean())
             running_baseline += float(reward.mean())
             n += 1
+            step = int(self.state["step"])
+            if step % self.log_every == 0:
+                self.metrics.log(
+                    step,
+                    {
+                        "scst_loss": float(loss),
+                        "reward": float(reward.mean()),
+                        "epoch": self.epoch,
+                    },
+                    prefix="train/",
+                )
         avg = running_loss / max(n, 1)
         logger.info(
             "Epoch %d - SCST loss %.4f reward %.4f", self.epoch, avg,
@@ -317,6 +394,10 @@ class BaseTrainer:
             return None
         logger.info("Loaded checkpoint from %s (epoch %s)", fname, loaded.get("epoch"))
         self.state = loaded["state"]
+        if self.mesh is not None:
+            from openviic_tpu.parallel.mesh import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
         return loaded
 
     # -- main loop -------------------------------------------------------

@@ -103,3 +103,24 @@ def test_full_start_loop_and_predictions(tmp_path_factory, tiny_dataset_dir):
     # resume: a fresh trainer picks up from last_model
     tr2 = build_trainer(cfg)
     tr2.start(max_epochs=1)
+
+
+def test_data_parallel_training(tmp_path_factory, tiny_dataset_dir):
+    """XE training sharded over the 8 virtual CPU devices."""
+    import jax
+
+    from openviic_tpu.builders import build_trainer
+
+    assert len(jax.devices()) == 8
+    tmp = tmp_path_factory.mktemp("trainer_dp")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    tr = build_trainer(cfg)
+    assert tr.mesh is not None and dict(tr.mesh.shape) == {"data": 4}
+    losses = [tr.train() for _ in range(3)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    # eval + decode still work (replicated path)
+    val_loss = tr.evaluate_loss(tr.val_dataloader)
+    assert np.isfinite(val_loss)
+    scores = tr.evaluate_metrics(tr.val_dict_dataloader)
+    assert np.isfinite(scores["CIDEr"])
