@@ -60,7 +60,14 @@ def bench_jax() -> float:
         ),
     )
 
-    decode = jax.jit(functools.partial(beam_search, model, beam_size=BEAM, out_size=1))
+    import jax.numpy as jnp
+
+    decode = jax.jit(
+        functools.partial(
+            beam_search, model, beam_size=BEAM, out_size=1,
+            compute_dtype=jnp.bfloat16,
+        )
+    )
     # warm up twice, materializing on host — on the axon tunnel the first
     # block_until_ready can return before remote compilation has finished
     for _ in range(2):
@@ -212,7 +219,7 @@ def main() -> None:
         "vs_baseline": round(value / baseline, 2) if baseline else None,
         "baseline_captions_per_sec": round(baseline, 2) if baseline else None,
         "baseline_hw": "torch-cpu reference-mechanics decode (no GPU available)",
-        "config": {
+        "decode_dtype": "bfloat16", "config": {
             "beam": BEAM, "vocab": VOCAB_SIZE, "max_len": MAX_LEN,
             "batch": JAX_BATCH, "d_model": D_MODEL, "layers": LAYERS,
         },

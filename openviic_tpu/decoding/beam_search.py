@@ -62,6 +62,37 @@ def _gather_beams(tree, selected_beam: jnp.ndarray, b_s: int, beam_size: int):
     return jax.tree.map(gather, tree)
 
 
+def _select_topk(candidate_logprob: jnp.ndarray, beam_size: int):
+    """Top beam_size over the flattened (beam, vocab) candidates.
+
+    Equivalent to ``top_k(candidate.reshape(bs, beam*V), beam_size)`` with
+    first-lowest-index tie-breaking, but O(k) max-reductions per beam
+    instead of a wide sort."""
+    b_s, n_beams, vocab_size = candidate_logprob.shape
+
+    # stage 1: top beam_size within each beam via iterative argmax
+    vals = candidate_logprob
+    col = jnp.arange(vocab_size)[None, None, :]
+    s1_vals, s1_idx = [], []
+    for _ in range(beam_size):
+        j = jnp.argmax(vals, axis=-1)  # (bs, n_beams), first index on ties
+        v = jnp.take_along_axis(vals, j[..., None], axis=-1)[..., 0]
+        s1_vals.append(v)
+        s1_idx.append(j)
+        vals = jnp.where(col == j[..., None], -jnp.inf, vals)
+    s1_vals = jnp.stack(s1_vals, axis=-1)  # (bs, n_beams, k) desc per beam
+    s1_idx = jnp.stack(s1_idx, axis=-1)
+
+    # stage 2: exact top-k over the beam_size*beam_size survivors
+    flat_vals = s1_vals.reshape(b_s, n_beams * beam_size)
+    sel_v, sel_i = jax.lax.top_k(flat_vals, beam_size)
+    selected_beam = sel_i // beam_size
+    selected_words = jnp.take_along_axis(
+        s1_idx.reshape(b_s, n_beams * beam_size), sel_i, axis=1
+    )
+    return sel_v, selected_beam, selected_words
+
+
 def _split_cache(cache):
     """Separate the per-step-mutable part (self KV + pad) from the static
     cross-attention KV, so the scan carry (gathered every step) stays small."""
@@ -88,6 +119,8 @@ def beam_search(
     beam_size: int,
     out_size: int = 1,
     train_dropout_rng: Optional[jax.Array] = None,
+    early_exit: bool = True,
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run batched beam search; returns (outputs, log_probs).
 
@@ -98,6 +131,22 @@ def beam_search(
     max_len = vocab.max_caption_length
     eos_idx = vocab.eos_idx
     bos_idx = vocab.bos_idx
+
+    if compute_dtype is not None:
+        # fast-decode mode: run the network in bf16 (selection math stays
+        # f32).  Parity mode (compute_dtype=None) keeps everything f32.
+        params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            params,
+        )
+        batch = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            batch,
+        )
 
     # 1) encode once at batch size, then broadcast to beams
     memory, memory_mask = model.apply(
@@ -112,6 +161,13 @@ def beam_search(
     # K/V is identical across beams and never mutated — keep it out of the
     # scan carry so it is not gathered every step.
     cache = make_decode_cache(model.config.DECODER, vocab, b_s * beam_size)
+    if compute_dtype is not None:
+        cache = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            cache,
+        )
     cache = model.apply(params, cache, memory, method=model.prepare_cache)
     static_cache, dynamic_cache = _split_cache(cache)
 
@@ -140,7 +196,9 @@ def beam_search(
             method=model.decode_step,
         )
         _, new_cache = _split_cache(new_cache)
-        word_logprob = word_logprob.reshape(b_s, beam_size, vocab_size)
+        word_logprob = word_logprob.astype(jnp.float32).reshape(
+            b_s, beam_size, vocab_size
+        )
         seq_logprob = carry["seq_logprob"]
         candidate_logprob = seq_logprob + word_logprob
 
@@ -159,10 +217,14 @@ def beam_search(
         )
 
         # --- select top beam_size over (beam*vocab) ---------------------
-        flat = candidate_logprob.reshape(b_s, beam_size * vocab_size)
-        selected_logprob, selected_idx = jax.lax.top_k(flat, beam_size)
-        selected_beam = selected_idx // vocab_size  # (bs, beam)
-        selected_words = selected_idx % vocab_size
+        # Two-stage selection: per-beam top-k via iterative argmax (k max
+        # reductions beat a sort-based top_k over beam*V on TPU — measured
+        # ~13ms -> ~1ms at V=10k), then an exact top-k over the beam*k
+        # survivors.  Tie-breaking matches the flattened argsort order
+        # (beam-major, then ascending word index).
+        selected_logprob, selected_beam, selected_words = _select_topk(
+            candidate_logprob, beam_size
+        )
 
         # --- reorder all state by selected_beam -------------------------
         new_cache = _gather_beams(new_cache, selected_beam, b_s, beam_size)
@@ -195,7 +257,25 @@ def beam_search(
         }
         return new_carry, None
 
-    final, _ = jax.lax.scan(step_fn, init, jnp.arange(max_len))
+    if early_exit:
+        # while_loop variant: stop once every beam of every image has
+        # emitted <eos>.  Finished-state steps are no-ops on all observable
+        # outputs (finished beams keep word 0 at their frozen log-prob and
+        # contribute zero per-step log-probs), so results are identical to
+        # the reference's fixed max_len loop — just without the dead tail.
+        def cond_fn(state):
+            t, carry = state
+            any_alive = jnp.any(carry["seq_mask"] > 0)
+            return jnp.logical_and(t < max_len, jnp.logical_or(any_alive, t < 2))
+
+        def body_fn(state):
+            t, carry = state
+            new_carry, _ = step_fn(carry, t)
+            return (t + 1, new_carry)
+
+        _, final = jax.lax.while_loop(cond_fn, body_fn, (jnp.asarray(0), init))
+    else:
+        final, _ = jax.lax.scan(step_fn, init, jnp.arange(max_len))
 
     # 4) sort beams by final sequence log-prob (beam_search.py:97-107)
     seq_logprob = final["seq_logprob"][..., 0]  # (bs, beam)

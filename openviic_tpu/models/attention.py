@@ -76,7 +76,7 @@ def _attend(
         att = att + bias
     att = jax.nn.softmax(att, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", att, v, preferred_element_type=jnp.float32)
-    return out
+    return out.astype(q.dtype)
 
 
 class _ProjectionMixin:
@@ -103,7 +103,8 @@ class _ProjectionMixin:
 
     def output(self, out: jnp.ndarray) -> jnp.ndarray:
         bs, nq = out.shape[:2]
-        return self.fc_o(out.reshape(bs, nq, self.h * self.d_v))
+        out = self.fc_o(out.reshape(bs, nq, self.h * self.d_v))
+        return out
 
 
 @META_ATTENTION.register()
@@ -260,7 +261,7 @@ class AdaptiveScaledDotProductAttention(nn.Module, _ProjectionMixin):
         )
         # extra value row for query i is s_i (attentions.py:260-263)
         out = out + combined[..., -1].transpose(0, 2, 1)[..., None] * s
-        return self.output(out)
+        return self.output(out.astype(queries.dtype))
 
     def attend_cached(self, queries, k, v, attention_mask, language_signals=None,
                       **kwargs):
@@ -288,7 +289,7 @@ class AdaptiveScaledDotProductAttention(nn.Module, _ProjectionMixin):
             preferred_element_type=jnp.float32,
         )
         out = out + combined[..., -1].transpose(0, 2, 1)[..., None] * s
-        return self.output(out)
+        return self.output(out.astype(queries.dtype))
 
 
 class MultiHeadAttention(nn.Module):
@@ -325,7 +326,7 @@ class MultiHeadAttention(nn.Module):
 
     def _finish(self, queries, out, train: bool):
         out = self.dropout(out, deterministic=not train)
-        out = self.layer_norm(queries + out)
+        out = self.layer_norm(queries + out).astype(queries.dtype)
         if self.use_aoa:
             aoa_input = jnp.concatenate([queries, out], axis=-1)
             i = self.informative_attention(aoa_input)

@@ -222,7 +222,7 @@ class _DecoderBase(nn.Module):
         seq = jnp.where(pad_mask[:, 0, 0, :], 0, seq)
 
         embedded, _ = self.word_emb(caption_tokens, train=train)
-        out = embedded + jnp.take(self.pos_table, seq, axis=0)
+        out = embedded + jnp.take(self.pos_table, seq, axis=0).astype(embedded.dtype)
         for layer in self.layers:
             out = layer(
                 queries=out, keys=encoder_features, values=encoder_features,
@@ -230,7 +230,7 @@ class _DecoderBase(nn.Module):
                 enc_attention_mask=encoder_attention_mask, train=train,
             )
         out = self.fc(out)
-        return jax.nn.log_softmax(out, axis=-1)
+        return jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
 
     # -- step decoding --------------------------------------------------
     def init_cache(self, batch_size: int) -> DecodeCache:
@@ -285,7 +285,7 @@ class _DecoderBase(nn.Module):
 
         embedded, _ = self.word_emb(tokens_t, train=False)
         # position index is t+1 regardless of pad (decoders.py:107-109)
-        out = embedded + self.pos_table[t + 1][None, None, :]
+        out = embedded + self.pos_table[t + 1][None, None, :].astype(embedded.dtype)
 
         new_layers = []
         for layer, layer_cache in zip(self.layers, cache["layers"]):
@@ -298,7 +298,7 @@ class _DecoderBase(nn.Module):
             new_layers.append(lc)
 
         out = self.fc(out)
-        log_probs = jax.nn.log_softmax(out, axis=-1)[:, 0, :]
+        log_probs = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)[:, 0, :]
         return log_probs, {"layers": new_layers, "pad": pad}
 
 
@@ -383,7 +383,7 @@ class AdaptiveDecoder(_DecoderBase):
         _, language_signals = self.language_model(caption_tokens)
 
         embedded, _ = self.word_emb(caption_tokens, train=train)
-        out = embedded + jnp.take(self.pos_table, seq, axis=0)
+        out = embedded + jnp.take(self.pos_table, seq, axis=0).astype(embedded.dtype)
         for layer in self.layers:
             out = layer(
                 queries=out, keys=encoder_features, values=encoder_features,
@@ -392,7 +392,7 @@ class AdaptiveDecoder(_DecoderBase):
                 language_signals=language_signals, train=train,
             )
         out = self.fc(out)
-        return jax.nn.log_softmax(out, axis=-1)
+        return jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
 
     def step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
              **kwargs):
@@ -401,7 +401,7 @@ class AdaptiveDecoder(_DecoderBase):
         _, language_signals = self.language_model(tokens_t)
 
         embedded, _ = self.word_emb(tokens_t, train=False)
-        out = embedded + self.pos_table[t + 1][None, None, :]
+        out = embedded + self.pos_table[t + 1][None, None, :].astype(embedded.dtype)
 
         new_layers = []
         for layer, layer_cache in zip(self.layers, cache["layers"]):
@@ -414,5 +414,5 @@ class AdaptiveDecoder(_DecoderBase):
             new_layers.append(lc)
 
         out = self.fc(out)
-        log_probs = jax.nn.log_softmax(out, axis=-1)[:, 0, :]
+        log_probs = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)[:, 0, :]
         return log_probs, {"layers": new_layers, "pad": pad}

@@ -79,9 +79,10 @@ class Encoder(nn.Module):
         ]
 
     def __call__(self, features, padding_mask, train: bool = False):
-        out = self.layer_norm(features) + sinusoid_positional_embedding(
-            features, self.d_model
-        )
+        out = (
+            self.layer_norm(features)
+            + sinusoid_positional_embedding(features, self.d_model)
+        ).astype(features.dtype)
         for layer in self.layers:
             out = layer(
                 queries=out, keys=out, values=out,
@@ -104,9 +105,10 @@ class MultilevelEncoder(nn.Module):
         ]
 
     def __call__(self, features, padding_mask, train: bool = False):
-        out = self.layer_norm(features) + sinusoid_positional_embedding(
-            features, self.d_model
-        )
+        out = (
+            self.layer_norm(features)
+            + sinusoid_positional_embedding(features, self.d_model)
+        ).astype(features.dtype)
         outs = []
         for layer in self.layers:
             out = layer(
@@ -151,9 +153,10 @@ class GeometricEncoder(nn.Module):
 
     def __call__(self, features, boxes, padding_mask, train: bool = False):
         relative_geometry_weights = self.geometry_weights(boxes)
-        out = self.layer_norm(features) + sinusoid_positional_embedding(
-            features, self.d_model
-        )
+        out = (
+            self.layer_norm(features)
+            + sinusoid_positional_embedding(features, self.d_model)
+        ).astype(features.dtype)
         for layer in self.layers:
             out = layer(
                 queries=out, keys=out, values=out,
@@ -217,8 +220,12 @@ class DualCollaborativeLevelEncoder(nn.Module):
         def pos(x):
             return sinusoid_positional_embedding(x, self.d_model, normalize=True)
 
-        region_features = self.layer_norm_region(region_features) + pos(region_features)
-        grid_features = self.layer_norm_grid(grid_features) + pos(grid_features)
+        region_features = (
+            self.layer_norm_region(region_features) + pos(region_features)
+        ).astype(region_features.dtype)
+        grid_features = (
+            self.layer_norm_grid(grid_features) + pos(grid_features)
+        ).astype(grid_features.dtype)
 
         for l_region, l_grid, l_r2g, l_g2r in zip(
             self.layers_region, self.layers_grid, self.region2grid, self.grid2region
@@ -298,9 +305,10 @@ class CrossAttentionMultiLevelEncoder(nn.Module):
         )
 
     def __call__(self, features, padding_mask, train: bool = False):
-        out = self.layer_norm(features) + sinusoid_positional_embedding(
-            features, self.d_model
-        )
+        out = (
+            self.layer_norm(features)
+            + sinusoid_positional_embedding(features, self.d_model)
+        ).astype(features.dtype)
         outs = []
         for layer in self.layers:
             out = layer(

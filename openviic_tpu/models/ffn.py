@@ -37,4 +37,4 @@ class PositionWiseFeedForward(nn.Module):
     def __call__(self, x, train: bool = False):
         out = self.fc2(self.dropout_2(jax.nn.relu(self.fc1(x)), deterministic=not train))
         out = self.dropout(out, deterministic=not train)
-        return self.layer_norm(x + out)
+        return self.layer_norm(x + out).astype(x.dtype)
