@@ -121,6 +121,7 @@ def beam_search(
     train_dropout_rng: Optional[jax.Array] = None,
     early_exit: bool = True,
     compute_dtype: Optional[jnp.dtype] = None,
+    return_probs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run batched beam search; returns (outputs, log_probs).
 
@@ -185,6 +186,11 @@ def beam_search(
         "outputs": jnp.zeros((b_s, beam_size, max_len), dtype=jnp.int32),
         "log_probs": jnp.zeros((b_s, beam_size, max_len)),
     }
+    if return_probs:
+        # per-step full distributions (reference beam_search.py:68-72: the
+        # eos-masked word log-probs per step, NOT re-gathered on later beam
+        # reorders — only sorted at the end)
+        init["all_log_probs"] = jnp.zeros((b_s, beam_size, max_len, vocab_size))
 
     def step_fn(carry, t):
         word_logprob, new_cache = model.apply(
@@ -245,6 +251,11 @@ def beam_search(
         )
         log_probs = log_probs.at[:, :, t].set(this_word_logprob)
 
+        if return_probs:
+            carry["all_log_probs"] = carry["all_log_probs"].at[:, :, t].set(
+                word_logprob_eff
+            )
+
         new_carry = {
             "cache": new_cache,
             "seq_logprob": selected_logprob[..., None],
@@ -255,6 +266,8 @@ def beam_search(
             "outputs": outputs,
             "log_probs": log_probs,
         }
+        if return_probs:
+            new_carry["all_log_probs"] = carry["all_log_probs"]
         return new_carry, None
 
     if early_exit:
@@ -288,6 +301,11 @@ def beam_search(
     if out_size == 1:
         outputs = outputs[:, 0]
         log_probs = log_probs[:, 0]
+    if return_probs:
+        all_log_probs = jnp.take_along_axis(
+            final["all_log_probs"], sort_idxs[..., None, None], axis=1
+        )
+        return outputs, log_probs, all_log_probs
     return outputs, log_probs
 
 

@@ -61,3 +61,37 @@ def sinusoid_positional_embedding(
         (jnp.sin(pos[:, :, 0::2]), jnp.cos(pos[:, :, 1::2])), axis=-1
     ).reshape(*pos.shape[:-1], -1)
     return pos
+
+
+class PositionalEmbedding:
+    """Classic fixed sin/cos table added over the sequence axis.
+
+    Reference: models/modules/pos_embeddings.py:6-24 (unused by shipped
+    architectures; provided for inventory parity).  Stateless: call with
+    (bs, seq, d) and get x + pe[:seq]."""
+
+    def __init__(self, d_model: int, max_len: int = 5000):
+        import math
+
+        pos = np.arange(max_len, dtype=np.float32)[:, None]
+        div = np.exp(
+            np.arange(0, d_model, 2, dtype=np.float32) * (-math.log(10000.0) / d_model)
+        )
+        pe = np.zeros((max_len, d_model), np.float32)
+        pe[:, 0::2] = np.sin(pos * div)
+        pe[:, 1::2] = np.cos(pos * div)
+        self.pe = pe
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x + jnp.asarray(self.pe[: x.shape[1]])[None, :, :]
+
+
+def learned_positional_embedding_init(max_len: int, d_model: int):
+    """Init spec for a learned positional table (pos_embeddings.py:26-37):
+    N(0,1) of shape (1, max_len, d_model); use with ``nn.Module.param``."""
+    from openviic_tpu.models.initializers import torch_embedding_init
+
+    def init(key, shape=None, dtype=jnp.float32):
+        return torch_embedding_init(key, (1, max_len, d_model), dtype)
+
+    return init

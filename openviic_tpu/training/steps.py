@@ -40,7 +40,7 @@ def nll_loss(log_probs: jnp.ndarray, targets: jnp.ndarray, ignore_index: int):
     return -picked.sum() / count
 
 
-def make_xe_step(model, optimizer):
+def make_xe_step(model, optimizer, label_smoothing: float = 0.0):
     """Returns a jitted (state, batch) -> (state, loss) XE update."""
 
     @jax.jit
@@ -49,6 +49,13 @@ def make_xe_step(model, optimizer):
 
         def loss_fn(params):
             out = model.apply(params, batch, train=True, rngs={"dropout": rng})
+            if label_smoothing > 0.0:
+                return label_smoothing_loss(
+                    out,
+                    batch["shifted_right_caption_tokens"],
+                    model.vocab.padding_idx,
+                    smoothing=label_smoothing,
+                )
             return nll_loss(
                 out,
                 batch["shifted_right_caption_tokens"],
@@ -141,3 +148,34 @@ def make_scst_grad_step(model, optimizer, beam_size: int):
         return new_state, loss
 
     return scst_step
+
+
+def label_smoothing_loss(
+    log_probs: jnp.ndarray,
+    targets: jnp.ndarray,
+    ignore_index: int,
+    smoothing: float = 0.1,
+):
+    """KL-divergence label-smoothing loss.
+
+    Equivalent of the reference's (dead) ``LabelSmoothing`` module
+    (loss_utils/label_smoothing.py:4-41): the target distribution puts
+    ``1 - smoothing`` on the gold token and spreads ``smoothing`` over the
+    remaining vocabulary (excluding pad); ignored positions contribute 0.
+    Wired here as a live option (``TRAINING.LABEL_SMOOTHING``)."""
+    vocab = log_probs.shape[-1]
+    flat_lp = log_probs.reshape(-1, vocab)
+    flat_t = targets.reshape(-1)
+    keep = flat_t != ignore_index
+
+    confidence = 1.0 - smoothing
+    fill = smoothing / (vocab - 2)  # excludes the gold token and pad
+    true_dist = jnp.full_like(flat_lp, fill)
+    true_dist = true_dist.at[:, ignore_index].set(0.0)
+    one_hot = jax.nn.one_hot(flat_t, vocab, dtype=flat_lp.dtype)
+    true_dist = jnp.where(one_hot > 0, confidence, true_dist)
+
+    kl = true_dist * (jnp.log(jnp.clip(true_dist, min=1e-12)) - flat_lp)
+    per_pos = kl.sum(-1)
+    per_pos = jnp.where(keep, per_pos, 0.0)
+    return per_pos.sum() / jnp.maximum(keep.sum(), 1)

@@ -175,7 +175,11 @@ class BaseTrainer:
             self.state = shard_state(self.state, self.mesh)
             self.xe_step = make_sharded_xe_step(self.model, self.optimizer, self.mesh)
         else:
-            self.xe_step = make_xe_step(self.model, self.optimizer)
+            self.xe_step = make_xe_step(
+                self.model,
+                self.optimizer,
+                label_smoothing=float(config.TRAINING.get("LABEL_SMOOTHING", 0.0)),
+            )
         self.eval_step = make_eval_loss_step(self.model)
         self.beam_searcher = BeamSearcher(self.model)
         self.scst_step = None  # built lazily when switching to RL

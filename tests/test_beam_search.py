@@ -187,3 +187,18 @@ def test_beam_search_emits_eos_and_decodes(tiny_vocab, tiny_model):
     assert len(caps) == 2
     for c in caps:
         assert isinstance(c, str)
+
+
+def test_return_probs(tiny_vocab, tiny_model):
+    """return_probs yields the per-step eos-masked distributions
+    (beam_search.py:68-72, 103-107 semantics)."""
+    model, params, batch = tiny_model
+    outs, lps, all_lps = beam_search(
+        model, params, batch, beam_size=3, out_size=3, return_probs=True
+    )
+    L, V = tiny_vocab.max_caption_length, len(tiny_vocab)
+    assert all_lps.shape == (2, 3, L, V)
+    # at t=0 every beam holds the same (bos-conditioned) distribution
+    np.testing.assert_allclose(
+        np.asarray(all_lps[:, 0, 0]), np.asarray(all_lps[:, 1, 0]), atol=1e-6
+    )

@@ -91,3 +91,38 @@ def test_dropout_changes_output_in_train_mode(tiny_vocab):
         params, batch, train=True, rngs={"dropout": jax.random.PRNGKey(1)}
     )
     assert not np.allclose(np.asarray(out_eval), np.asarray(out_train))
+
+
+def test_unified_transformer_forward(tiny_vocab):
+    """UnifiedTransformer concatenates region feats+boxes+grid feats+boxes
+    on the sequence axis (unified_transformer.py:21-55) — all streams must
+    share D_FEATURE for that to typecheck; use 4-d features to match boxes."""
+    cfg = model_config(architecture="UnifiedTransformer", d_feature=4)
+    model = build_model(cfg, tiny_vocab)
+    batch = make_batch(tiny_vocab, d_feature=4, d_grid=4)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(params, batch)
+    assert out.shape == (2, tiny_vocab.max_caption_length, len(tiny_vocab))
+
+
+def test_lstm_text_embedding(tiny_vocab):
+    from openviic_tpu.builders import build_text_embedding
+    from openviic_tpu.config import ConfigNode
+
+    cfg = ConfigNode(
+        {
+            "ARCHITECTURE": "LSTMTextEmbedding",
+            "D_MODEL": 16,
+            "D_EMBEDDING": 10,
+            "WORD_EMBEDDING": None,
+            "WORD_EMBEDDING_CACHE": None,
+            "DROPOUT": 0.1,
+        }
+    )
+    emb = build_text_embedding(cfg, tiny_vocab)
+    tokens = jnp.asarray(np.array([[1, 5, 6, 0], [1, 7, 0, 0]], np.int32))
+    params = emb.init(jax.random.PRNGKey(0), tokens)
+    feats, (pad_mask, seq_mask) = emb.apply(params, tokens)
+    assert feats.shape == (2, 4, 16)
+    assert pad_mask.shape == (2, 1, 1, 4) and bool(pad_mask[0, 0, 0, 3])
+    assert seq_mask.shape == (1, 1, 4, 4)

@@ -124,3 +124,34 @@ def test_data_parallel_training(tmp_path_factory, tiny_dataset_dir):
     assert np.isfinite(val_loss)
     scores = tr.evaluate_metrics(tr.val_dict_dataloader)
     assert np.isfinite(scores["CIDEr"])
+
+
+def test_en_trainer_ptb_postprocessing(tmp_path_factory, tiny_dataset_dir):
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("trainer_en")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    cfg._data["TRAINER"] = "enTrainer"
+    tr = build_trainer(cfg)
+    gts = {"0": ["A man, walking."]}
+    gens = {"0": ["A man walks!"]}
+    gts2, gens2 = tr.postprocess_pairs(gts, gens)
+    assert gts2["0"] == ["a man walking"]
+    assert gens2["0"] == ["a man walks"]
+    scores = tr.evaluate_metrics(tr.val_dict_dataloader)
+    assert "CIDEr" in scores
+
+
+def test_label_smoothing_loss_values():
+    import jax.numpy as jnp
+
+    from openviic_tpu.training.steps import label_smoothing_loss, nll_loss
+
+    logp = jnp.log(jnp.full((1, 2, 4), 0.25))
+    targets = jnp.array([[1, 0]])  # second position ignored (pad)
+    ls = label_smoothing_loss(logp, targets, ignore_index=0, smoothing=0.1)
+    nll = nll_loss(logp, targets, ignore_index=0)
+    assert np.isfinite(float(ls))
+    # smoothing=0 edge: loss should approach the NLL minus target entropy
+    ls0 = label_smoothing_loss(logp, targets, ignore_index=0, smoothing=1e-9)
+    np.testing.assert_allclose(float(ls0), float(nll), atol=1e-5)
