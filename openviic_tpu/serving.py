@@ -1,0 +1,139 @@
+"""Batch captioning inference pipeline.
+
+The reference has no serving layer (its CLI only runs test-set evaluation,
+train.py:17); this module adds one: load a trained checkpoint + vocab,
+stream feature files through the jitted beam-search decoder at a fixed
+batch size, and emit captions.  Designed for throughput: fixed shapes
+(features bucket-padded), bf16 decode by default, one compiled program per
+(batch, bucket) pair.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openviic_tpu.builders import build_model
+from openviic_tpu.data.instance import Instance, InstanceList
+from openviic_tpu.decoding import beam_search
+from openviic_tpu.training import checkpoint as ckpt
+from openviic_tpu.utils import setup_logger
+
+logger = setup_logger()
+
+
+class CaptioningPipeline:
+    def __init__(
+        self,
+        config,
+        checkpoint_dir: Optional[str] = None,
+        beam_size: Optional[int] = None,
+        batch_size: int = 32,
+        use_bf16: bool = True,
+        checkpoint_name: str = ckpt.BEST_NAME,
+    ):
+        self.config = config
+        checkpoint_dir = checkpoint_dir or os.path.join(
+            config.TRAINING.CHECKPOINT_PATH, config.MODEL.NAME
+        )
+        with open(os.path.join(checkpoint_dir, "vocab.bin"), "rb") as f:
+            self.vocab = pickle.load(f)
+        self.model = build_model(config.MODEL, self.vocab)
+        self.beam_size = beam_size or config.TRAINING.EVALUATING_BEAM_SIZE
+        self.batch_size = batch_size
+        self.compute_dtype = jnp.bfloat16 if use_bf16 else None
+
+        # initialise to get the param template, then load the checkpoint
+        dummy = self._dummy_batch()
+        params = self.model.init(jax.random.PRNGKey(0), dummy)
+        path = os.path.join(checkpoint_dir, checkpoint_name)
+        loaded = ckpt.load_checkpoint(path, params, opt_state_template=None)
+        if loaded is None:
+            raise FileNotFoundError(f"no checkpoint at {path}")
+        self.params = loaded["state"]["params"]
+        logger.info("Loaded %s (epoch %s)", path, loaded.get("epoch"))
+
+        self._decode = {}
+
+    def _dummy_batch(self) -> Dict[str, jnp.ndarray]:
+        vis = self.config.MODEL.VISION_EMBEDDING
+        batch = {
+            "caption_tokens": jnp.zeros(
+                (1, self.vocab.max_caption_length), jnp.int32
+            ),
+        }
+        if "D_FEATURE" in vis:
+            batch["region_features"] = jnp.zeros((1, 8, vis.D_FEATURE))
+            batch["grid_features"] = jnp.zeros((1, 8, vis.D_FEATURE))
+        else:
+            batch["region_features"] = jnp.zeros((1, 8, vis.D_REGION_FEATURE))
+            batch["grid_features"] = jnp.zeros((1, 8, vis.D_GRID_FEATURE))
+        batch["region_boxes"] = jnp.zeros((1, 8, 4))
+        batch["grid_boxes"] = jnp.zeros((1, 8, 4))
+        return batch
+
+    def _decoder(self):
+        key = (self.beam_size,)
+        if key not in self._decode:
+            self._decode[key] = jax.jit(
+                functools.partial(
+                    beam_search,
+                    self.model,
+                    beam_size=self.beam_size,
+                    out_size=1,
+                    compute_dtype=self.compute_dtype,
+                )
+            )
+        return self._decode[key]
+
+    def caption_features(self, feature_dicts: List[Dict]) -> List[str]:
+        """Caption a list of per-image feature dicts (the `.npy` payloads)."""
+        results: List[str] = []
+        decode = self._decoder()
+        for start in range(0, len(feature_dicts), self.batch_size):
+            chunk = feature_dicts[start : start + self.batch_size]
+            # pad the tail chunk to the fixed batch size (avoids recompiles)
+            pad_n = self.batch_size - len(chunk)
+            batch_items = [Instance(**fd) for fd in chunk]
+            batch_items += [batch_items[-1]] * pad_n
+            # bucket-pad variable row counts to multiples of 8 so repeated
+            # calls reuse a handful of compiled programs
+            pad_sizes = {}
+            for key, v0 in batch_items[0].items():
+                if isinstance(v0, np.ndarray) and v0.ndim >= 2:
+                    longest = max(it[key].shape[0] for it in batch_items)
+                    pad_sizes[key] = ((longest + 7) // 8) * 8
+            batch = InstanceList(batch_items, pad_sizes=pad_sizes)
+            arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+            outs, _ = decode(self.params, batch=arrays)
+            caps = self.vocab.decode_caption(np.asarray(outs))
+            results.extend(caps[: len(chunk)])
+        return results
+
+    def caption_directory(
+        self, features_dir: str, image_ids: Optional[Iterable] = None
+    ) -> Dict[str, str]:
+        """Caption every ``<id>.npy`` in a directory -> {id: caption}."""
+        if image_ids is None:
+            image_ids = [
+                os.path.splitext(f)[0]
+                for f in sorted(os.listdir(features_dir))
+                if f.endswith(".npy")
+            ]
+        image_ids = list(image_ids)
+        feature_dicts = []
+        for image_id in image_ids:
+            payload = np.load(
+                os.path.join(features_dir, f"{image_id}.npy"), allow_pickle=True
+            )[()]
+            feature_dicts.append(
+                {k: np.asarray(v, dtype=np.float32) for k, v in payload.items()}
+            )
+        captions = self.caption_features(feature_dicts)
+        return dict(zip([str(i) for i in image_ids], captions))

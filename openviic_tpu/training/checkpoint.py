@@ -50,7 +50,12 @@ def load_checkpoint(
     with open(path, "rb") as f:
         payload = pickle.load(f)
     params = serialization.from_bytes(params_template, payload["params"])
-    opt_state = serialization.from_bytes(opt_state_template, payload["opt_state"])
+    if opt_state_template is not None:
+        opt_state = serialization.from_bytes(
+            opt_state_template, payload["opt_state"]
+        )
+    else:  # inference-only load (serving)
+        opt_state = None
     rng = jax.random.wrap_key_data(np.asarray(payload["rng"]))
     np.random.set_state(payload["numpy_rng_state"])
     state = {
