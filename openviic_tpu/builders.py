@@ -95,5 +95,6 @@ def build_word_embedding(config):
 
 
 def build_pretrained_language_model(config):
+    _ensure_registered()
     lm_cls = META_PRETRAINED_LANGUAGE_MODEL.get(config.ARCHITECTURE)
     return lm_cls(config=config)

@@ -67,6 +67,64 @@ class _MiniBertBackbone(nn.Module):
         return x
 
 
+class _HFBackboneAdapter(nn.Module):
+    """Wraps a transformers Flax *module* (a linen Module) so its params
+    live inside this model's tree and can be grafted from an HF checkpoint
+    later (``scripts`` can copy ``from_pretrained().params`` under the
+    ``backbone/hf`` scope)."""
+
+    hf_module_class: Any
+    hf_config: Any
+    padding_idx: int = 1  # RoBERTa convention
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None):
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        mask = attention_mask.astype(jnp.int32)
+        # RoBERTa-style position ids: pad offset + running count of real tokens
+        position_ids = jnp.cumsum(mask, axis=1) * mask + self.padding_idx
+        token_type_ids = jnp.zeros_like(input_ids)
+        hf = self.hf_module_class(config=self.hf_config, name="hf")
+        out = hf(
+            input_ids=input_ids,
+            attention_mask=attention_mask,
+            token_type_ids=token_type_ids,
+            position_ids=position_ids,
+            deterministic=True,
+        )
+        return out.last_hidden_state
+
+
+def _load_hf_backbone(hf_model_class, pretrained_name, vocab_size, hidden):
+    """Build the HF architecture (config from the hub when reachable,
+    offline default otherwise); returns an adapter module or None."""
+    try:
+        from transformers import AutoConfig
+
+        try:
+            # local cache only — avoids minutes of network retries offline;
+            # populate the HF cache to pick up the real config/weights
+            hf_config = AutoConfig.from_pretrained(
+                pretrained_name, local_files_only=True
+            )
+        except Exception:
+            # offline: same architecture family, randomly initialised
+            hf_config = hf_model_class.config_class(
+                vocab_size=vocab_size, hidden_size=hidden,
+                num_hidden_layers=4, num_attention_heads=8,
+                intermediate_size=hidden * 4,
+            )
+        return _HFBackboneAdapter(
+            hf_module_class=hf_model_class.module_class,
+            hf_config=hf_config,
+            padding_idx=getattr(hf_config, "pad_token_id", 1) or 1,
+            name="backbone",
+        )
+    except Exception:
+        return None
+
+
 class _LanguageModelBase(nn.Module):
     """Projection + pos emb + one encoder layer + vocab head over a backbone."""
 
@@ -102,8 +160,20 @@ class _LanguageModelBase(nn.Module):
             name="proj_to_vocab",
         )
 
+    hf_model_class = None  # subclass hook: lazy transformers Flax class getter
+
     def _make_backbone(self, vocab_size: int, hidden: int):
         cfg = self.config
+        pretrained = cfg.get("PRETRAINED_NAME")
+        if pretrained and type(self).hf_model_class is not None:
+            try:
+                hf_cls = type(self).hf_model_class()
+            except Exception:
+                hf_cls = None
+            if hf_cls is not None:
+                hf = _load_hf_backbone(hf_cls, pretrained, vocab_size, hidden)
+                if hf is not None:
+                    return hf
         return _MiniBertBackbone(
             vocab_size=vocab_size,
             hidden_size=hidden,
@@ -137,11 +207,22 @@ class _LanguageModelBase(nn.Module):
         return jax.nn.log_softmax(logits, axis=-1), language_feature
 
 
+def _lazy_hf(name):
+    """Lazy transformers-class resolver (imports only when actually used)."""
+
+    def get():
+        import transformers
+
+        return getattr(transformers, name)
+
+    return get
+
+
 @META_PRETRAINED_LANGUAGE_MODEL.register()
 class BERTModel(_LanguageModelBase):
-    pass
+    hf_model_class = staticmethod(_lazy_hf("FlaxBertModel"))
 
 
 @META_PRETRAINED_LANGUAGE_MODEL.register()
 class PhoBERTModel(_LanguageModelBase):
-    pass
+    hf_model_class = staticmethod(_lazy_hf("FlaxRobertaModel"))
