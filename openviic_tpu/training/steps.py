@@ -40,15 +40,32 @@ def nll_loss(log_probs: jnp.ndarray, targets: jnp.ndarray, ignore_index: int):
     return -picked.sum() / count
 
 
-def make_xe_step(model, optimizer, label_smoothing: float = 0.0):
-    """Returns a jitted (state, batch) -> (state, loss) XE update."""
+def _cast_floating(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def make_xe_step(model, optimizer, label_smoothing: float = 0.0,
+                 mixed_precision: bool = False):
+    """Returns a jitted (state, batch) -> (state, loss) XE update.
+
+    ``mixed_precision``: forward/backward in bf16 against f32 master
+    params (the cast is differentiable, so gradients arrive in f32 for the
+    Adam update)."""
 
     @jax.jit
     def xe_step(state, batch):
         rng, new_rng = jax.random.split(state["rng"])
+        step_batch = _cast_floating(batch, jnp.bfloat16) if mixed_precision else batch
 
         def loss_fn(params):
-            out = model.apply(params, batch, train=True, rngs={"dropout": rng})
+            if mixed_precision:
+                params = _cast_floating(params, jnp.bfloat16)
+            out = model.apply(params, step_batch, train=True, rngs={"dropout": rng})
             if label_smoothing > 0.0:
                 return label_smoothing_loss(
                     out,

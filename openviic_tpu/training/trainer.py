@@ -179,6 +179,7 @@ class BaseTrainer:
                 self.model,
                 self.optimizer,
                 label_smoothing=float(config.TRAINING.get("LABEL_SMOOTHING", 0.0)),
+                mixed_precision=bool(config.TRAINING.get("MIXED_PRECISION", False)),
             )
         self.eval_step = make_eval_loss_step(self.model)
         self.beam_searcher = BeamSearcher(self.model)
