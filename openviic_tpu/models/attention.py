@@ -132,6 +132,33 @@ class ScaledDotProductAttention(nn.Module, _ProjectionMixin):
         out = _attend(q, k, v, self.d_k, attention_mask)
         return self.output(out)
 
+    def project_qkv_fused(self, x):
+        """One matmul for q/k/v of the same input (decode hot path).
+
+        Mathematically identical to the three separate projections; XLA
+        hoists the weight concatenation out of the decode loop."""
+        bs, n = x.shape[:2]
+        wq, wk = self.fc_q.variables["params"], self.fc_k.variables["params"]
+        wv = self.fc_v.variables["params"]
+        kernel = jnp.concatenate(
+            [wq["kernel"], wk["kernel"], wv["kernel"]], axis=1
+        ).astype(x.dtype)
+        bias = jnp.concatenate([wq["bias"], wk["bias"], wv["bias"]]).astype(x.dtype)
+        qkv = (
+            jnp.einsum("bnd,df->bnf", x, kernel, preferred_element_type=jnp.float32)
+            .astype(x.dtype)
+            + bias
+        )
+        hk = self.h * self.d_k
+        q = qkv[..., :hk].reshape(bs, n, self.h, self.d_k)
+        k = qkv[..., hk : 2 * hk].reshape(bs, n, self.h, self.d_k)
+        v = qkv[..., 2 * hk :].reshape(bs, n, self.h, self.d_v)
+        return q, k, v
+
+    def attend_projected(self, q, k, v, attention_mask):
+        out = _attend(q, k, v, self.d_k, attention_mask)
+        return self.output(out)
+
 
 @META_ATTENTION.register()
 class AugmentedGeometryScaledDotProductAttention(nn.Module, _ProjectionMixin):
@@ -362,10 +389,24 @@ class MultiHeadAttention(nn.Module):
             return self._finish(queries, out, train), cache
 
         # self-attention: write this step's projected K/V at decode_index
-        k_t, v_t = self.attention.project_kv(keys)  # (bs, 1, h, d)
-        k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_t, decode_index, axis=1)
-        v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_t, decode_index, axis=1)
-        out = self.attention.attend_cached(queries, k, v, attention_mask, **kwargs)
+        if hasattr(self.attention, "project_qkv_fused") and not kwargs:
+            q_t, k_t, v_t = self.attention.project_qkv_fused(queries)
+            k = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], k_t, decode_index, axis=1
+            )
+            v = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], v_t, decode_index, axis=1
+            )
+            out = self.attention.attend_projected(q_t, k, v, attention_mask)
+        else:
+            k_t, v_t = self.attention.project_kv(keys)  # (bs, 1, h, d)
+            k = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], k_t, decode_index, axis=1
+            )
+            v = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], v_t, decode_index, axis=1
+            )
+            out = self.attention.attend_cached(queries, k, v, attention_mask, **kwargs)
         new_cache = {"k": k, "v": v}
         return self._finish(queries, out, train), new_cache
 

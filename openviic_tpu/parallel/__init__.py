@@ -1,3 +1,4 @@
+from openviic_tpu.parallel.runtime import initialize_distributed
 from openviic_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -12,4 +13,5 @@ __all__ = [
     "replicate_sharding",
     "param_shardings",
     "make_sharded_xe_step",
+    "initialize_distributed",
 ]

@@ -136,12 +136,17 @@ def scst_log_probs(model, params, batch, sampled, rng=None):
 
 
 def make_scst_grad_step(model, optimizer, beam_size: int):
-    """Returns a jitted (state, batch, sampled, reward) -> (state, loss)."""
+    """Returns a jitted (state, batch, sampled, reward) -> (state, loss).
+
+    ``batch`` is the *unexpanded* (bs, ...) feature batch; the beam-wise
+    expansion happens on device inside the jit (a host-side repeat would
+    re-copy the features every iteration)."""
 
     @jax.jit
     def scst_step(state, batch, sampled, reward):
         rng, new_rng = jax.random.split(state["rng"])
         bs = reward.shape[0]
+        batch = {k: jnp.repeat(v, beam_size, axis=0) for k, v in batch.items()}
 
         def loss_fn(params):
             lp = scst_log_probs(model, params, batch, sampled, rng=rng)

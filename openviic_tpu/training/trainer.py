@@ -311,9 +311,8 @@ class BaseTrainer:
             reward = self.train_cider.compute_score(gts, gens)[1].astype(np.float32)
             reward = jnp.asarray(reward.reshape(bs, beam))
 
-            expanded = {k: jnp.repeat(v, beam, axis=0) for k, v in batch.items()}
             self.state, loss = self.scst_step(
-                self.state, expanded, jnp.asarray(sampled), reward
+                self.state, batch, jnp.asarray(sampled), reward
             )
             running_loss += float(loss)
             running_reward += float(reward.mean())

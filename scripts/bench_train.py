@@ -106,10 +106,7 @@ def main() -> None:
         gts = {str(i): [" ".join(rng.choice(words, 10))] for i in range(len(caps))}
         reward = cider.compute_score(gts, gens)[1].astype(np.float32)
         reward = jnp.asarray(reward.reshape(SCST_IMAGES, BEAM))
-        expanded = {
-            k: jnp.repeat(v, BEAM, axis=0) for k, v in scst_batch.items()
-        }
-        new_state, loss = scst_step(rl_state, expanded, jnp.asarray(sampled), reward)
+        new_state, loss = scst_step(rl_state, scst_batch, jnp.asarray(sampled), reward)
         return float(loss)
 
     scst_iter()

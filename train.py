@@ -31,7 +31,9 @@ def main() -> None:
 
     from openviic_tpu.builders import build_trainer
     from openviic_tpu.config import get_config
+    from openviic_tpu.parallel.runtime import initialize_distributed
 
+    initialize_distributed()
     config = get_config(args.config_file, args.opts or None)
     trainer = build_trainer(config)
     if not args.eval_only:
