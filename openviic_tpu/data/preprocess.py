@@ -15,7 +15,7 @@ like the reference (data_utils/utils.py:34-47); the native C++ RDR segmenter
 from __future__ import annotations
 
 import re
-from typing import Callable, List, Optional, Union
+from typing import Callable, List, Union
 
 # (pattern, replacement) pairs applied in order — same rules and order as the
 # reference so vocabularies sort identically.

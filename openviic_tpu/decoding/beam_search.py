@@ -312,8 +312,9 @@ def beam_search(
 class BeamSearcher:
     """Caches jit-compiled beam search callables per (beam, out_size)."""
 
-    def __init__(self, model):
+    def __init__(self, model, compute_dtype=None):
         self.model = model
+        self.compute_dtype = compute_dtype
         self._compiled: Dict[Tuple[int, int], Any] = {}
 
     def __call__(self, params, batch, beam_size: int, out_size: int = 1):
@@ -325,6 +326,7 @@ class BeamSearcher:
                     self.model,
                     beam_size=beam_size,
                     out_size=out_size,
+                    compute_dtype=self.compute_dtype,
                 )
             )
         return self._compiled[key](params, batch=batch)

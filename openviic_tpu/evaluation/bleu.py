@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import math
 from collections import Counter
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 from openviic_tpu.evaluation.ngram import ngram_counts
 

@@ -23,7 +23,7 @@ encoder:
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax.numpy as jnp
 

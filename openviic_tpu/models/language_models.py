@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from openviic_tpu.builders import META_PRETRAINED_LANGUAGE_MODEL
-from openviic_tpu.models.ffn import PositionWiseFeedForward
 from openviic_tpu.models.initializers import (
     torch_embedding_init,
     torch_linear_bias,

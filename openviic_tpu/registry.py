@@ -10,7 +10,7 @@ dlct-transformer.yaml) still resolve."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Iterator, Optional, Tuple
 
 
 class Registry:

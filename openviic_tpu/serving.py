@@ -13,7 +13,7 @@ from __future__ import annotations
 import functools
 import os
 import pickle
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp

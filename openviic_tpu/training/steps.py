@@ -17,9 +17,6 @@ REINFORCE-with-baseline on those.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 import optax

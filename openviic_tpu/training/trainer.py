@@ -182,7 +182,14 @@ class BaseTrainer:
                 mixed_precision=bool(config.TRAINING.get("MIXED_PRECISION", False)),
             )
         self.eval_step = make_eval_loss_step(self.model)
-        self.beam_searcher = BeamSearcher(self.model)
+        # decode dtype: f32 by default (token-level parity with the
+        # reference); TRAINING.DECODE_DTYPE: bfloat16 enables the ~1.8x
+        # fast path (PERF.md) for eval/SCST sampling
+        decode_dtype = config.TRAINING.get("DECODE_DTYPE")
+        self.beam_searcher = BeamSearcher(
+            self.model,
+            compute_dtype=jnp.bfloat16 if decode_dtype == "bfloat16" else None,
+        )
         self.scst_step = None  # built lazily when switching to RL
         self.use_rl = False
         self.epoch = 0
