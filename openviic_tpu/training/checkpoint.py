@@ -27,10 +27,16 @@ BEST_NAME = "best_model.ckpt"
 
 
 def save_checkpoint(path: str, state: Dict[str, Any], extras: Dict[str, Any]) -> None:
-    """Write the single-file checkpoint (atomically via tmp+rename)."""
+    """Write the single-file checkpoint (atomically via tmp+rename).
+
+    ``opt_state`` is stored as a pickled numpy pytree (structure included)
+    rather than template-matched msgpack: the XE phase (Noam schedule) and
+    the SCST phase (fixed-LR Adam) have different optax state structures,
+    and a load must succeed regardless of which phase the checkpoint and
+    the live trainer are in."""
     payload = {
         "params": serialization.to_bytes(state["params"]),
-        "opt_state": serialization.to_bytes(state["opt_state"]),
+        "opt_state": jax.tree.map(lambda x: np.asarray(x), state["opt_state"]),
         "step": int(state["step"]),
         "rng": np.asarray(jax.random.key_data(state["rng"])),
         "numpy_rng_state": np.random.get_state(),
@@ -50,12 +56,14 @@ def load_checkpoint(
     with open(path, "rb") as f:
         payload = pickle.load(f)
     params = serialization.from_bytes(params_template, payload["params"])
-    if opt_state_template is not None:
-        opt_state = serialization.from_bytes(
-            opt_state_template, payload["opt_state"]
-        )
-    else:  # inference-only load (serving)
-        opt_state = None
+    raw_opt = payload["opt_state"]
+    if isinstance(raw_opt, bytes):  # older checkpoints: template msgpack
+        if opt_state_template is not None:
+            opt_state = serialization.from_bytes(opt_state_template, raw_opt)
+        else:
+            opt_state = None
+    else:  # structural pickle — restored as-is, phase-independent
+        opt_state = raw_opt
     rng = jax.random.wrap_key_data(np.asarray(payload["rng"]))
     np.random.set_state(payload["numpy_rng_state"])
     state = {

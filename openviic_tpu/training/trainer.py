@@ -272,10 +272,11 @@ class BaseTrainer:
         )
         return avg
 
-    def _ensure_scst(self) -> None:
+    def _ensure_scst(self, reset_opt: bool = True) -> None:
         if self.scst_step is None:
             rl_optimizer = make_rl_optimizer(self.rl_learning_rate)
-            self.state["opt_state"] = rl_optimizer.init(self.state["params"])
+            if reset_opt:
+                self.state["opt_state"] = rl_optimizer.init(self.state["params"])
             self.scst_step = make_scst_grad_step(
                 self.model, rl_optimizer, self.training_beam_size
             )
@@ -422,7 +423,9 @@ class BaseTrainer:
             patience = loaded["patience"]
             self.epoch = loaded["epoch"]
             if use_rl:
-                self._ensure_scst()
+                # resuming mid-SCST: the loaded opt_state is already the
+                # RL optimizer's — do not reinitialise it
+                self._ensure_scst(reset_opt=False)
         else:
             use_rl = False
             best_val_score = 0.0

@@ -155,3 +155,40 @@ def test_label_smoothing_loss_values():
     # smoothing=0 edge: loss should approach the NLL minus target entropy
     ls0 = label_smoothing_loss(logp, targets, ignore_index=0, smoothing=1e-9)
     np.testing.assert_allclose(float(ls0), float(nll), atol=1e-5)
+
+
+def test_checkpoint_across_phase_switch(tmp_path_factory, tiny_dataset_dir):
+    """Regression: loading an XE-phase checkpoint from an RL-phase trainer
+    (and vice versa) must work — the two phases have different optax state
+    structures (Noam-schedule Adam vs fixed-LR Adam)."""
+    import os
+
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("trainer_phase")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    tr = build_trainer(cfg)
+    tr.train()
+    tr.save_checkpoint(
+        {"val_loss": 1.0, "best_val_score": 0.1, "patience": 0, "use_rl": False}
+    )
+    last = os.path.join(tr.checkpoint_path, "last_model.ckpt")
+
+    # switch to RL (new opt structure), then load the XE checkpoint
+    tr._ensure_scst()
+    loaded = tr.load_checkpoint(last)
+    assert loaded is not None and loaded["use_rl"] is False
+
+    # save in RL phase, resume from a fresh trainer (XE-structured template)
+    tr.scst_step = None
+    tr._ensure_scst()
+    tr.save_checkpoint(
+        {"val_loss": 1.0, "best_val_score": 0.1, "patience": 0, "use_rl": True}
+    )
+    tr2 = build_trainer(cfg)
+    loaded2 = tr2.load_checkpoint(last)
+    assert loaded2 is not None and loaded2["use_rl"] is True
+    # resuming mid-RL keeps the loaded opt state
+    tr2._ensure_scst(reset_opt=False)
+    loss = tr2.train_scst()
+    assert np.isfinite(loss)
