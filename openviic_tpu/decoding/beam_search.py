@@ -2,11 +2,12 @@
 
 Reference equivalent: models/modules/beam_search.py:4-118 — a Python loop
 over decode steps with stateful-buffer gathers (``apply_to_states``) every
-step.  Here the whole decode is a single ``lax.scan``:
+step.  Here the whole decode is one jitted XLA loop:
 
  - the KV cache is a preallocated pytree (bs*beam leading dim); beam
    reordering is one ``take_along_axis`` gather over the pytree (replaces
    the recursive ``_expand_state`` gather at beam_search.py:19-34,61);
+   the never-mutated cross-attention K/V stays out of the loop carry;
  - eos semantics replicate the reference exactly, including the ``-999``
    continuation trick (beam_search.py:48-55): a finished beam's candidate
    row keeps word 0 (<pad>) at its frozen sequence log-prob and every other
@@ -15,8 +16,13 @@ step.  Here the whole decode is a single ``lax.scan``:
    with full static shapes by initialising every beam except 0 at a -1e18
    sequence log-prob, so the first top-k draws beam_size distinct words
    from beam 0 — identical selection, no dynamic shapes;
- - the loop always runs max_len steps (the reference does too,
-   beam_search.py:94-95) — no data-dependent control flow.
+ - selection is a two-stage top-k (per-beam iterative argmax + tiny exact
+   top-k) with the reference's flattened-argsort tie order;
+ - by default a ``lax.while_loop`` exits as soon as every beam has emitted
+   eos (observably identical to the reference's fixed max_len loop, whose
+   tail steps are no-ops; ``early_exit=False`` restores the plain scan);
+ - optional ``compute_dtype=bfloat16`` runs the network fast path while
+   selection math stays f32 (PERF.md).
 
 Encoder memory is broadcast beam-wise once at the start (the reference
 reaches the same state through ``_expand_state``'s view/expand at t=0).
