@@ -192,3 +192,104 @@ def test_checkpoint_across_phase_switch(tmp_path_factory, tiny_dataset_dir):
     tr2._ensure_scst(reset_opt=False)
     loss = tr2.train_scst()
     assert np.isfinite(loss)
+
+
+def _dual_stream_model_config():
+    """Tiny DLCT model config (region + grid streams)."""
+    from tests.helpers import D_MODEL, attention_config
+
+    return {
+        "ARCHITECTURE": "DLCTTransformer",
+        "NAME": "tiny_dlct",
+        "DEVICE": "cpu",
+        "VISION_EMBEDDING": {
+            "ARCHITECTURE": "GeometricDualFeatureEmbedding",
+            "D_REGION_FEATURE": 13,
+            "D_GRID_FEATURE": 11,
+            "D_MODEL": D_MODEL,
+            "DROPOUT": 0.1,
+        },
+        "ENCODER": {
+            "ARCHITECTURE": "DualCollaborativeLevelEncoder",
+            "D_MODEL": D_MODEL,
+            "LAYERS": 2,
+            "HEAD": 2,
+            "TRIGNOMETRIC_EMBEDDING": True,
+            "SELF_ATTENTION": attention_config(
+                "AugmentedGeometryScaledDotProductAttention"
+            ),
+            "CROSS_ATTENTION": attention_config(
+                "AugmentedGeometryScaledDotProductAttention"
+            ),
+        },
+        "DECODER": {
+            "ARCHITECTURE": "Decoder",
+            "D_MODEL": D_MODEL,
+            "LAYERS": 2,
+            "ATTENTION": {
+                "D_MODEL": D_MODEL,
+                "SELF_ATTENTION": attention_config(can_be_stateful=True),
+                "ENC_ATTENTION": attention_config(),
+            },
+            "TEXT_EMBEDDING": {
+                "ARCHITECTURE": "UsualEmbedding",
+                "D_MODEL": D_MODEL,
+                "D_EMBEDDING": 10,
+                "WORD_EMBEDDING": None,
+                "WORD_EMBEDDING_CACHE": None,
+                "DROPOUT": 0.1,
+            },
+        },
+    }
+
+
+def test_dlct_trainer_end_to_end(tmp_path_factory, tiny_dataset_dir):
+    """The fixed DLCT wiring trains + evaluates end-to-end."""
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("trainer_dlct")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    cfg._data["MODEL"] = __import__(
+        "openviic_tpu.config", fromlist=["ConfigNode"]
+    ).ConfigNode(_dual_stream_model_config())
+    tr = build_trainer(cfg)
+    losses = [tr.train() for _ in range(2)]
+    assert all(np.isfinite(l) for l in losses)
+    scores = tr.evaluate_metrics(tr.val_dict_dataloader)
+    assert np.isfinite(scores["CIDEr"])
+
+
+def test_adaptive_decoder_trainer_end_to_end(tmp_path_factory, tiny_dataset_dir):
+    """The fixed RSTNet wiring (AdaptiveDecoder + frozen LM) trains."""
+    from openviic_tpu.builders import build_trainer
+    from openviic_tpu.config import ConfigNode
+    from tests.helpers import D_MODEL, attention_config, model_config
+
+    tmp = tmp_path_factory.mktemp("trainer_rstnet")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    model = model_config(decoder="AdaptiveDecoder").to_dict()
+    model["DECODER"]["ADAPTIVE_ATTENTION"] = {
+        "SELF_ATTENTION": attention_config(
+            "AdaptiveScaledDotProductAttention", can_be_stateful=True
+        ),
+        "ENC_ATTENTION": attention_config("AdaptiveScaledDotProductAttention"),
+    }
+    model["DECODER"]["LANGUAGE_MODEL"] = {
+        "ARCHITECTURE": "PhoBERTModel",
+        "HIDDEN_SIZE": 16,
+        "D_MODEL": D_MODEL,
+        "MAX_LEN": 16,
+        "VOCAB_SIZE": 64,
+        "PADDING_IDX": 0,
+        "BACKBONE_LAYERS": 1,
+        "BACKBONE_HEADS": 2,
+        "ATTENTION": attention_config(),
+    }
+    cfg._data["MODEL"] = ConfigNode(model)
+    tr = build_trainer(cfg)
+    # LM vocab must cover the caption vocab for tokens to embed
+    assert len(tr.vocab) <= 64
+    loss = tr.train()
+    assert np.isfinite(loss)
+    scores = tr.evaluate_metrics(tr.val_dict_dataloader)
+    assert np.isfinite(scores["CIDEr"])
