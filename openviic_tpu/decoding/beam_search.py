@@ -128,6 +128,7 @@ def beam_search(
     early_exit: bool = True,
     compute_dtype: Optional[jnp.dtype] = None,
     return_probs: bool = False,
+    lazy_reorder: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run batched beam search; returns (outputs, log_probs).
 
@@ -197,14 +198,34 @@ def beam_search(
         # eos-masked word log-probs per step, NOT re-gathered on later beam
         # reorders — only sorted at the end)
         init["all_log_probs"] = jnp.zeros((b_s, beam_size, max_len, vocab_size))
+    if lazy_reorder:
+        # ancestry table: the KV caches are never physically reordered;
+        # ancestry[b, j, t'] is the beam slot holding position t' of beam
+        # j's prefix, resolved at attention-read time (attention.py
+        # _resolve_ancestry).  Beam selection then gathers this tiny int
+        # table instead of the multi-MB caches.
+        init["ancestry"] = jnp.zeros((b_s, beam_size, max_len), jnp.int32)
 
     def step_fn(carry, t):
+        ancestry = None
+        if lazy_reorder:
+            # position t of every current beam lives at its own slot
+            ancestry = jax.lax.dynamic_update_slice_in_dim(
+                carry["ancestry"],
+                jnp.broadcast_to(
+                    jnp.arange(beam_size, dtype=jnp.int32)[None, :, None],
+                    (b_s, beam_size, 1),
+                ),
+                t,
+                axis=2,
+            )
         word_logprob, new_cache = model.apply(
             params,
             t,
             carry["selected_words"],
             _merge_cache(static_cache, carry["cache"]),
             memory_mask,
+            ancestry,
             method=model.decode_step,
         )
         _, new_cache = _split_cache(new_cache)
@@ -239,7 +260,13 @@ def beam_search(
         )
 
         # --- reorder all state by selected_beam -------------------------
-        new_cache = _gather_beams(new_cache, selected_beam, b_s, beam_size)
+        if lazy_reorder:
+            # only the ancestry table is gathered; the caches stay put
+            new_ancestry = jnp.take_along_axis(
+                ancestry, selected_beam[..., None], axis=1
+            )
+        else:
+            new_cache = _gather_beams(new_cache, selected_beam, b_s, beam_size)
         seq_mask_t = jnp.take_along_axis(seq_mask_t, selected_beam[..., None], axis=1)
         outputs = jnp.take_along_axis(
             carry["outputs"], selected_beam[..., None], axis=1
@@ -272,6 +299,8 @@ def beam_search(
             "outputs": outputs,
             "log_probs": log_probs,
         }
+        if lazy_reorder:
+            new_carry["ancestry"] = new_ancestry
         if return_probs:
             new_carry["all_log_probs"] = carry["all_log_probs"]
         return new_carry, None

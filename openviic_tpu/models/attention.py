@@ -48,6 +48,21 @@ from openviic_tpu.models.initializers import (
 Cache = Dict[str, Any]
 
 
+def _resolve_ancestry(cache_arr: jnp.ndarray, ancestry: jnp.ndarray) -> jnp.ndarray:
+    """Per-position beam-slot resolution of an unreordered decode cache.
+
+    ``cache_arr``: (bs*beam, L, h, d) written at each beam's own slot;
+    ``ancestry``: (bs, beam, L) — the slot holding position t' of each
+    current beam's prefix.  Returns the view each beam should attend over,
+    shaped like ``cache_arr``."""
+    b_s, n_beams, L = ancestry.shape
+    shaped = cache_arr.reshape((b_s, n_beams) + cache_arr.shape[1:])
+    # gather over the beam axis, per position: out[b, j, t] = shaped[b, anc[b,j,t], t]
+    idx = ancestry[..., None, None]  # (bs, beam, L, 1, 1)
+    out = jnp.take_along_axis(shaped, idx, axis=1)
+    return out.reshape(cache_arr.shape)
+
+
 def _attend(
     q: jnp.ndarray,  # (bs, nq, h, d_k)
     k: jnp.ndarray,  # (bs, nk, h, d_k)
@@ -372,6 +387,7 @@ class MultiHeadAttention(nn.Module):
         decode_index: Optional[jnp.ndarray] = None,
         static_cache: bool = False,
         train: bool = False,
+        ancestry: Optional[jnp.ndarray] = None,
         **kwargs,
     ):
         if cache is None:
@@ -388,25 +404,29 @@ class MultiHeadAttention(nn.Module):
             )
             return self._finish(queries, out, train), cache
 
-        # self-attention: write this step's projected K/V at decode_index
+        # self-attention: write this step's projected K/V at decode_index.
+        # With `ancestry` (bs, beam, L) the cache is never physically
+        # reordered on beam selection; each read resolves position t''s
+        # true slot through the ancestry table instead (lazy beam reorder —
+        # the big gather then sits in the same loop iteration as the
+        # attention that consumes it).
         if hasattr(self.attention, "project_qkv_fused") and not kwargs:
             q_t, k_t, v_t = self.attention.project_qkv_fused(queries)
-            k = jax.lax.dynamic_update_slice_in_dim(
-                cache["k"], k_t, decode_index, axis=1
-            )
-            v = jax.lax.dynamic_update_slice_in_dim(
-                cache["v"], v_t, decode_index, axis=1
-            )
-            out = self.attention.attend_projected(q_t, k, v, attention_mask)
         else:
+            q_t = None
             k_t, v_t = self.attention.project_kv(keys)  # (bs, 1, h, d)
-            k = jax.lax.dynamic_update_slice_in_dim(
-                cache["k"], k_t, decode_index, axis=1
+        k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_t, decode_index, axis=1)
+        v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_t, decode_index, axis=1)
+        k_read, v_read = k, v
+        if ancestry is not None:
+            k_read = _resolve_ancestry(k, ancestry)
+            v_read = _resolve_ancestry(v, ancestry)
+        if q_t is not None:
+            out = self.attention.attend_projected(q_t, k_read, v_read, attention_mask)
+        else:
+            out = self.attention.attend_cached(
+                queries, k_read, v_read, attention_mask, **kwargs
             )
-            v = jax.lax.dynamic_update_slice_in_dim(
-                cache["v"], v_t, decode_index, axis=1
-            )
-            out = self.attention.attend_cached(queries, k, v, attention_mask, **kwargs)
         new_cache = {"k": k, "v": v}
         return self._finish(queries, out, train), new_cache
 

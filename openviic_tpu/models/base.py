@@ -69,5 +69,8 @@ class BaseTransformer(nn.Module):
     def prepare_cache(self, cache: DecodeCache, encoder_features) -> DecodeCache:
         return self.decoder.prepare_cache(cache, encoder_features)
 
-    def decode_step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask):
-        return self.decoder.step(t, tokens_t, cache, encoder_attention_mask)
+    def decode_step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
+                    ancestry=None):
+        return self.decoder.step(
+            t, tokens_t, cache, encoder_attention_mask, ancestry=ancestry
+        )

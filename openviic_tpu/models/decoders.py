@@ -79,11 +79,12 @@ class DecoderLayer(nn.Module):
         return {"cross": self.enc_attn.precompute_cache(memory)}
 
     def step(self, queries, layer_cache, decode_index, self_attention_mask,
-             enc_attention_mask, **kwargs):
+             enc_attention_mask, ancestry=None, **kwargs):
         self_att, self_cache = self.self_attn(
             queries, queries, queries,
             attention_mask=self_attention_mask,
-            cache=layer_cache["self"], decode_index=decode_index, **kwargs,
+            cache=layer_cache["self"], decode_index=decode_index,
+            ancestry=ancestry, **kwargs,
         )
         enc_att, _ = self.enc_attn(
             self_att, None, None,
@@ -158,11 +159,12 @@ class MeshedDecoderLayer(nn.Module):
         }
 
     def step(self, queries, layer_cache, decode_index, self_attention_mask,
-             enc_attention_mask, **kwargs):
+             enc_attention_mask, ancestry=None, **kwargs):
         self_att, self_cache = self.self_attn(
             queries, queries, queries,
             attention_mask=self_attention_mask,
-            cache=layer_cache["self"], decode_index=decode_index, **kwargs,
+            cache=layer_cache["self"], decode_index=decode_index,
+            ancestry=ancestry, **kwargs,
         )
         enc_atts = []
         for ith in range(self.nlayers):
@@ -267,21 +269,31 @@ class _DecoderBase(nn.Module):
             new_layers.append(lc)
         return {**cache, "layers": new_layers}
 
-    def _step_masks(self, tokens_t, t, cache):
-        """Update the running pad mask; build self/cross attention masks."""
+    def _step_masks(self, tokens_t, t, cache, ancestry=None):
+        """Update the running pad mask; build self/cross attention masks.
+
+        With ``ancestry`` the pad buffer (like the KV caches) is never
+        physically reordered; each beam's mask is resolved through the
+        ancestry table."""
         is_pad = (tokens_t == self.padding_idx)[:, :1]  # (bs, 1)
         pad = jax.lax.dynamic_update_slice_in_dim(cache["pad"], is_pad, t, axis=1)
         L = pad.shape[1]
         future = jnp.arange(L)[None, :] > t  # mask positions beyond t
-        self_mask = (pad | future)[:, None, None, :]  # (bs, 1, 1, L)
+        pad_read = pad
+        if ancestry is not None:
+            b_s, n_beams, _ = ancestry.shape
+            pad_read = jnp.take_along_axis(
+                pad.reshape(b_s, n_beams, L), ancestry, axis=1
+            ).reshape(pad.shape)
+        self_mask = (pad_read | future)[:, None, None, :]  # (bs, 1, 1, L)
         return pad, self_mask
 
     def step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
-             **kwargs):
+             ancestry=None, **kwargs):
         """One decode step.  ``tokens_t``: (bs, 1) current input token.
 
         Returns (log_probs (bs, vocab), new_cache)."""
-        pad, self_mask = self._step_masks(tokens_t, t, cache)
+        pad, self_mask = self._step_masks(tokens_t, t, cache, ancestry=ancestry)
 
         embedded, _ = self.word_emb(tokens_t, train=False)
         # position index is t+1 regardless of pad (decoders.py:107-109)
@@ -293,6 +305,7 @@ class _DecoderBase(nn.Module):
                 out, layer_cache, t,
                 self_attention_mask=self_mask,
                 enc_attention_mask=encoder_attention_mask,
+                ancestry=ancestry,
                 **kwargs,
             )
             new_layers.append(lc)
@@ -395,8 +408,8 @@ class AdaptiveDecoder(_DecoderBase):
         return jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
 
     def step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
-             **kwargs):
-        pad, self_mask = self._step_masks(tokens_t, t, cache)
+             ancestry=None, **kwargs):
+        pad, self_mask = self._step_masks(tokens_t, t, cache, ancestry=ancestry)
 
         _, language_signals = self.language_model(tokens_t)
 
@@ -409,6 +422,7 @@ class AdaptiveDecoder(_DecoderBase):
                 out, layer_cache, t,
                 self_attention_mask=self_mask,
                 enc_attention_mask=encoder_attention_mask,
+                ancestry=ancestry,
                 language_signals=language_signals,
             )
             new_layers.append(lc)
