@@ -422,6 +422,11 @@ class BaseTrainer:
             best_val_score = loaded["best_val_score"]
             patience = loaded["patience"]
             self.epoch = loaded["epoch"]
+            # deterministic resume: realign the shuffle stream with where an
+            # uninterrupted run would be (loader epoch counter is not part
+            # of the checkpoint; SURVEY.md §5 failure-recovery semantics)
+            self.train_dataloader.epoch = self.epoch + 1
+            self.train_dict_dataloader.epoch = self.epoch + 1
             if use_rl:
                 # resuming mid-SCST: the loaded opt_state is already the
                 # RL optimizer's — do not reinitialise it
