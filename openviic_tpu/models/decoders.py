@@ -80,6 +80,11 @@ class DecoderLayer(nn.Module):
 
     def step(self, queries, layer_cache, decode_index, self_attention_mask,
              enc_attention_mask, ancestry=None, **kwargs):
+        if self._can_fuse_step(kwargs, ancestry):
+            return self._fused_step(
+                queries, layer_cache, decode_index,
+                self_attention_mask, enc_attention_mask,
+            )
         self_att, self_cache = self.self_attn(
             queries, queries, queries,
             attention_mask=self_attention_mask,
@@ -95,6 +100,86 @@ class DecoderLayer(nn.Module):
         new_cache = dict(layer_cache)
         new_cache["self"] = self_cache
         return ff, new_cache
+
+    # -- fused single-kernel step (OPENVIIC_FUSED_STEP=1) ----------------
+    def _can_fuse_step(self, kwargs, ancestry) -> bool:
+        from openviic_tpu.ops.fused_decoder_step import fused_step_enabled
+
+        return (
+            fused_step_enabled()
+            and not kwargs
+            and ancestry is None
+            and type(self.self_attn.attention).__name__ == "ScaledDotProductAttention"
+            and type(self.enc_attn.attention).__name__ == "ScaledDotProductAttention"
+            and not self.self_attn.use_aoa
+            and not self.enc_attn.use_aoa
+        )
+
+    def _fused_weights(self):
+        import jax.numpy as jnp
+
+        def kb(dense):
+            p = dense.variables["params"]
+            return p["kernel"], p["bias"]
+
+        sa = self.self_attn.attention
+        wq, bq = kb(sa.fc_q); wk, bk = kb(sa.fc_k); wv, bv = kb(sa.fc_v)
+        wo, bo = kb(sa.fc_o)
+        ca = self.enc_attn.attention
+        wqc, bqc = kb(ca.fc_q)
+        woc, boc = kb(ca.fc_o)
+        w1, b1 = kb(self.pwff.fc1); w2, b2 = kb(self.pwff.fc2)
+
+        def ln(mod):
+            p = mod.variables["params"]
+            return p["scale"], p["bias"]
+
+        ln1s, ln1b = ln(self.self_attn.layer_norm)
+        ln2s, ln2b = ln(self.enc_attn.layer_norm)
+        ln3s, ln3b = ln(self.pwff.layer_norm)
+        return {
+            "wqkv": jnp.concatenate([wq, wk, wv], axis=1),
+            "bqkv": jnp.concatenate([bq, bk, bv]),
+            "wo": wo, "bo": bo, "ln1s": ln1s, "ln1b": ln1b,
+            "wqc": wqc, "bqc": bqc, "woc": woc, "boc": boc,
+            "ln2s": ln2s, "ln2b": ln2b,
+            "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+            "ln3s": ln3s, "ln3b": ln3b,
+        }
+
+    def _fused_step(self, queries, layer_cache, decode_index,
+                    self_attention_mask, enc_attention_mask):
+        import jax.numpy as jnp
+
+        from openviic_tpu.ops.fused_decoder_step import fused_layer_step
+
+        sc = layer_cache["self"]
+        cc = layer_cache["cross"]
+        n, L = sc["k"].shape[0], sc["k"].shape[1]
+        h = sc["k"].shape[2]
+        M = cc["k"].shape[1]
+
+        def flat(c):
+            return c.reshape(c.shape[0], c.shape[1], -1)
+
+        x = queries[:, 0, :]
+        self_mask = jnp.broadcast_to(
+            self_attention_mask[:, 0, 0, :], (n, L)
+        )
+        cross_mask = jnp.broadcast_to(enc_attention_mask[:, 0, 0, :], (n, M))
+        y, kc, vc = fused_layer_step(
+            x,
+            flat(sc["k"]), flat(sc["v"]),
+            flat(cc["k"]), flat(cc["v"]),
+            self_mask, cross_mask, jnp.asarray(decode_index), self._fused_weights(),
+            n_heads=h,
+        )
+        new_cache = dict(layer_cache)
+        new_cache["self"] = {
+            "k": kc.reshape(sc["k"].shape),
+            "v": vc.reshape(sc["v"].shape),
+        }
+        return y[:, None, :], new_cache
 
 
 class MeshedDecoderLayer(nn.Module):
