@@ -555,6 +555,13 @@ class enTrainer(BaseTrainer):
         super().__init__(config)
         self._ptb = PTBTokenizer()
 
+    def get_predictions(self, dataset=None, get_scores: bool = True):
+        """API parity: the reference enTrainer takes the dataset as an
+        argument (en_trainer.py get_predictions(dataset, ...))."""
+        if dataset is not None:
+            self.test_dict_dataloader = DataLoader(dataset, 1, shuffle=False)
+        return super().get_predictions(get_scores=get_scores)
+
     def postprocess_pairs(self, gts: Dict, gens: Dict):
         ptb = getattr(self, "_ptb", None) or PTBTokenizer()
         gts_tok = ptb.tokenize({k: list(v) for k, v in gts.items()})
