@@ -280,6 +280,22 @@ class BaseTrainer:
             self.scst_step = make_scst_grad_step(
                 self.model, rl_optimizer, self.training_beam_size
             )
+            # optional fully-on-device reward (TRAINING.DEVICE_REWARD):
+            # exact match to the host CIDEr on the trainer's inputs
+            # (tests/test_device_reward.py); only valid when no language-
+            # specific postprocessing applies (viTrainer)
+            self.device_reward = None
+            if self.config.TRAINING.get("DEVICE_REWARD", False) and (
+                type(self).postprocess_pairs is BaseTrainer.postprocess_pairs
+            ):
+                from openviic_tpu.training.device_reward import DeviceCiderFull
+
+                self.device_reward = DeviceCiderFull(
+                    self.vocab, self.train_dataset.captions
+                )
+                self._device_score = jax.jit(
+                    self.device_reward.score, static_argnames=("beam_size",)
+                )
             train_gts = {
                 f"{idx}": caption
                 for idx, caption in enumerate(self.train_dataset.captions)
@@ -307,17 +323,35 @@ class BaseTrainer:
                 self.state["params"], batch, beam_size=beam, out_size=beam
             )
             bs = outs.shape[0]
-            sampled = np.asarray(outs).reshape(bs * beam, -1)
+            sampled_dev = outs.reshape(bs * beam, -1)
+            sampled = np.asarray(sampled_dev)
 
-            caps_gen = self.vocab.decode_caption(sampled, join_words=True)
-            caps_gt = list(
-                itertools.chain(*([a] * beam for a in items["captions"]))
-            )
-            gens = {f"{i}": [c] for i, c in enumerate(caps_gen)}
-            gts = {f"{i}": c for i, c in enumerate(caps_gt)}
-            gts, gens = self.postprocess_pairs(gts, gens)
-            reward = self.train_cider.compute_score(gts, gens)[1].astype(np.float32)
-            reward = jnp.asarray(reward.reshape(bs, beam))
+            if self.device_reward is not None:
+                refs = list(items["captions"])
+                n_ref_max = max(len(r) for r in refs)
+                r_max = max(
+                    (len(c.split()) for r in refs for c in r), default=1
+                )
+                ids, idf, tok_valid, ref_valid = self.device_reward.encode_refs(
+                    refs, n_ref_max, r_max
+                )
+                reward = self._device_score(
+                    sampled_dev, jnp.asarray(ids), jnp.asarray(idf),
+                    jnp.asarray(tok_valid), jnp.asarray(ref_valid),
+                    beam_size=beam,
+                ).reshape(bs, beam)
+            else:
+                caps_gen = self.vocab.decode_caption(sampled, join_words=True)
+                caps_gt = list(
+                    itertools.chain(*([a] * beam for a in items["captions"]))
+                )
+                gens = {f"{i}": [c] for i, c in enumerate(caps_gen)}
+                gts = {f"{i}": c for i, c in enumerate(caps_gt)}
+                gts, gens = self.postprocess_pairs(gts, gens)
+                reward = self.train_cider.compute_score(gts, gens)[1].astype(
+                    np.float32
+                )
+                reward = jnp.asarray(reward.reshape(bs, beam))
 
             self.state, loss = self.scst_step(
                 self.state, batch, jnp.asarray(sampled), reward

@@ -293,3 +293,16 @@ def test_adaptive_decoder_trainer_end_to_end(tmp_path_factory, tiny_dataset_dir)
     assert np.isfinite(loss)
     scores = tr.evaluate_metrics(tr.val_dict_dataloader)
     assert np.isfinite(scores["CIDEr"])
+
+
+def test_scst_with_device_reward(tmp_path_factory, tiny_dataset_dir):
+    """TRAINING.DEVICE_REWARD runs SCST with the on-device CIDEr."""
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("trainer_devreward")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    cfg.TRAINING._data["DEVICE_REWARD"] = True
+    tr = build_trainer(cfg)
+    loss = tr.train_scst()
+    assert np.isfinite(loss)
+    assert tr.device_reward is not None
