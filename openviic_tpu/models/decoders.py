@@ -379,6 +379,11 @@ class _DecoderBase(nn.Module):
 
         Returns (log_probs (bs, vocab), new_cache)."""
         pad, self_mask = self._step_masks(tokens_t, t, cache, ancestry=ancestry)
+        # Each reference layer zeroes its output where the *input* token is
+        # pad (decoders.py:26 ``ff.masked_fill(self_padding_mask...)``) —
+        # this fires for live beams that emit <pad> as a word, so skipping
+        # it changes beam scores (caught by tests/test_reference_parity.py).
+        is_pad = (tokens_t == self.padding_idx)[:, :1, None]  # (bs, 1, 1)
 
         embedded, _ = self.word_emb(tokens_t, train=False)
         # position index is t+1 regardless of pad (decoders.py:107-109)
@@ -393,6 +398,7 @@ class _DecoderBase(nn.Module):
                 ancestry=ancestry,
                 **kwargs,
             )
+            out = jnp.where(is_pad, 0.0, out)
             new_layers.append(lc)
 
         out = self.fc(out)
@@ -495,6 +501,7 @@ class AdaptiveDecoder(_DecoderBase):
     def step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
              ancestry=None, **kwargs):
         pad, self_mask = self._step_masks(tokens_t, t, cache, ancestry=ancestry)
+        is_pad = (tokens_t == self.padding_idx)[:, :1, None]  # (bs, 1, 1)
 
         _, language_signals = self.language_model(tokens_t)
 
@@ -510,6 +517,7 @@ class AdaptiveDecoder(_DecoderBase):
                 ancestry=ancestry,
                 language_signals=language_signals,
             )
+            out = jnp.where(is_pad, 0.0, out)
             new_layers.append(lc)
 
         out = self.fc(out)

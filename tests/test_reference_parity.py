@@ -1,0 +1,326 @@
+"""Gold-standard parity tests importing the ACTUAL reference code.
+
+Unlike tests/test_torch_parity.py (an independent torch implementation
+written from the spec), these tests import `/root/reference` itself — the
+PyTorch OpenViIC — build its registered models, transplant the identical
+weights into this framework via ``compat/torch_import.py``, and assert:
+
+ - teacher-forced forward log-probs match to float tolerance;
+ - greedy (beam=1) decode matches token-for-token;
+ - beam-5 / out_size-5 decode matches token-for-token with matching
+   per-step log-probs (models/modules/beam_search.py:4-118 semantics,
+   including the -999 continuation trick and finished-beam handling);
+ - the BLEU/ROUGE-L/CIDEr scorers match the reference's
+   evaluation/{bleu,rouge,cider} implementations exactly (10 decimals)
+   on a randomized corpus.
+
+Reference bugs encountered (documented, not replicated):
+
+ - ObjectRelationTransformer.encoder_forward passes a single ``Instance``
+   positionally to ``GeometricEncoder.forward(features, boxes,
+   padding_mask)`` (object_relation_transformer.py:38-42) — TypeError as
+   shipped.  Parity is tested through a 3-line call-convention shim that
+   forwards the fields as the encoder's signature requires.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from openviic_tpu.builders import build_model
+from openviic_tpu.compat.torch_import import convert_torch_state_dict
+from openviic_tpu.decoding import beam_search
+from tests.helpers import model_config
+from tests.test_models_forward import make_batch
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference packages; restore sys.path afterwards."""
+    sys.path.insert(0, REFERENCE)
+    try:
+        import models as ref_models  # noqa: F401 — populates registries
+        from builders.model_builder import META_ARCHITECTURE
+        from utils.instance import Instance
+
+        yield types.SimpleNamespace(
+            META_ARCHITECTURE=META_ARCHITECTURE, Instance=Instance
+        )
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+class FakeVocab:
+    def __init__(self, n=30, max_len=12):
+        self.itos = ["<pad>", "<bos>", "<eos>", "<unk>"] + [
+            f"w{i}" for i in range(n - 4)
+        ]
+        self.stoi = {t: i for i, t in enumerate(self.itos)}
+        self.padding_idx, self.bos_idx, self.eos_idx, self.unk_idx = 0, 1, 2, 3
+        self.max_caption_length = max_len
+        self.word_embeddings = None
+
+    def __len__(self):
+        return len(self.itos)
+
+
+# (arch, encoder, decoder, enc_attention, use_aoa, feature keys)
+CASES = [
+    (
+        "StandardTransformerUsingRegion", "Encoder", "Decoder",
+        "ScaledDotProductAttention", False, ["region_features"],
+    ),
+    (
+        "StandardTransformerUsingGrid", "Encoder", "Decoder",
+        "ScaledDotProductAttention", False, ["grid_features"],
+    ),
+    (  # attention_on_attention.yaml shape
+        "StandardTransformerUsingRegion", "Encoder", "Decoder",
+        "ScaledDotProductAttention", True, ["region_features"],
+    ),
+    (
+        "MeshedMemoryTransformer", "MultilevelEncoder", "MeshedDecoder",
+        "AugmentedMemoryScaledDotProductAttention", False, ["region_features"],
+    ),
+    (
+        "ObjectRelationTransformer", "GeometricEncoder", "Decoder",
+        "AugmentedGeometryScaledDotProductAttention", False,
+        ["region_features", "region_boxes"],
+    ),
+    (
+        "CamoTransformer", "CrossAttentionMultiLevelEncoder", "Decoder",
+        "ScaledDotProductAttention", False, ["region_features"],
+    ),
+]
+
+IDS = ["standard_region", "standard_grid", "aoa", "m2", "ort", "camo"]
+
+
+def _fix_ort_encoder_forward(ref_model):
+    """Reference bug shim: ObjectRelationTransformer.encoder_forward calls
+    ``self.encoder(Instance(...))`` but GeometricEncoder.forward takes
+    (features, boxes, padding_mask) — unpack the fields as intended."""
+
+    def encoder_forward(self, input_features):
+        region_features, region_padding_mask = self.vision_embedding(
+            input_features.region_features
+        )
+        encoder_features = self.encoder(
+            features=region_features,
+            boxes=input_features.region_boxes,
+            padding_mask=region_padding_mask,
+        )
+        return encoder_features, region_padding_mask
+
+    ref_model.encoder_forward = types.MethodType(encoder_forward, ref_model)
+
+
+def _build_pair(ref, arch, encoder, decoder, enc_attention, use_aoa, vocab):
+    """Build (reference torch model, repo flax model, transplant fn)."""
+    d_feature = 11 if arch.endswith("UsingGrid") else 13
+    cfg = model_config(
+        architecture=arch,
+        encoder=encoder,
+        decoder=decoder,
+        enc_attention=enc_attention,
+        use_aoa=use_aoa,
+        d_feature=d_feature,
+        # the CAMO encoder hard-codes a 3-layer unpack (encoders.py:236)
+        layers=3 if encoder == "CrossAttentionMultiLevelEncoder" else 2,
+    )
+    torch.manual_seed(0)
+    ref_model = ref.META_ARCHITECTURE.get(arch)(cfg, vocab)
+    ref_model.eval()
+    if arch == "ObjectRelationTransformer":
+        _fix_ort_encoder_forward(ref_model)
+    model = build_model(cfg, vocab)
+    return ref_model, model, d_feature
+
+
+def _transplant(ref_model, model, batch):
+    params = model.init(jax.random.PRNGKey(0), batch)
+    params, missing, unused = convert_torch_state_dict(
+        ref_model.state_dict(), params
+    )
+    assert missing == [], f"params with no reference counterpart: {missing}"
+    # the only reference tensor without a flax param is the frozen sinusoid
+    # position table, recomputed here (decoders.py:88-89)
+    assert set(unused) <= {"decoder.pos_emb.weight"}, unused
+    return params
+
+
+def _torch_batch(ref, batch, keys, with_caption=False):
+    fields = {
+        k: torch.tensor(np.asarray(batch[k]), dtype=torch.float32) for k in keys
+    }
+    if with_caption:
+        fields["caption_tokens"] = torch.tensor(
+            np.asarray(batch["caption_tokens"]), dtype=torch.long
+        )
+    return ref.Instance(**fields)
+
+
+@pytest.mark.parametrize("arch,encoder,decoder,attn,aoa,feats", CASES, ids=IDS)
+def test_forward_parity(ref, arch, encoder, decoder, attn, aoa, feats):
+    vocab = FakeVocab()
+    ref_model, model, d_feature = _build_pair(
+        ref, arch, encoder, decoder, attn, aoa, vocab
+    )
+    batch = make_batch(vocab, bs=3, d_feature=13, d_grid=11)
+    params = _transplant(ref_model, model, batch)
+
+    out = np.asarray(model.apply(params, batch))
+    with torch.no_grad():
+        ref_out = ref_model(_torch_batch(ref, batch, feats, with_caption=True))
+    np.testing.assert_allclose(out, ref_out.numpy(), atol=5e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("arch,encoder,decoder,attn,aoa,feats", CASES, ids=IDS)
+def test_beam5_parity(ref, arch, encoder, decoder, attn, aoa, feats):
+    vocab = FakeVocab()
+    ref_model, model, d_feature = _build_pair(
+        ref, arch, encoder, decoder, attn, aoa, vocab
+    )
+    batch = make_batch(vocab, bs=3, d_feature=13, d_grid=11)
+    params = _transplant(ref_model, model, batch)
+
+    with torch.no_grad():
+        ref_out, ref_lp = ref_model.beam_search(
+            _torch_batch(ref, batch, feats), batch_size=3, beam_size=5, out_size=5
+        )
+    got_out, got_lp = beam_search(
+        model, params, {k: batch[k] for k in feats}, beam_size=5, out_size=5
+    )
+    np.testing.assert_array_equal(np.asarray(got_out), ref_out.numpy())
+    np.testing.assert_allclose(
+        np.asarray(got_lp), ref_lp.numpy(), atol=5e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "arch,encoder,decoder,attn,aoa,feats",
+    [CASES[0], CASES[3]],
+    ids=["standard_region", "m2"],
+)
+def test_greedy_parity(ref, arch, encoder, decoder, attn, aoa, feats):
+    vocab = FakeVocab()
+    ref_model, model, _ = _build_pair(
+        ref, arch, encoder, decoder, attn, aoa, vocab
+    )
+    batch = make_batch(vocab, bs=4, d_feature=13, d_grid=11, seed=7)
+    params = _transplant(ref_model, model, batch)
+
+    with torch.no_grad():
+        ref_out, ref_lp = ref_model.beam_search(
+            _torch_batch(ref, batch, feats), batch_size=4, beam_size=1, out_size=1
+        )
+    got_out, got_lp = beam_search(
+        model, params, {k: batch[k] for k in feats}, beam_size=1, out_size=1
+    )
+    np.testing.assert_array_equal(np.asarray(got_out), ref_out.numpy())
+    np.testing.assert_allclose(
+        np.asarray(got_lp), ref_lp.numpy(), atol=5e-5, rtol=1e-5
+    )
+
+
+# --------------------------------------------------------------- metrics
+def _random_corpus(n_images=25, seed=0):
+    """gts/gen dicts over a tiny alphabet so n-gram overlap is plentiful."""
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(12)]
+
+    def sentence():
+        n = int(rng.integers(3, 12))
+        return " ".join(rng.choice(words, size=n))
+
+    gts = {
+        str(i): [sentence() for _ in range(int(rng.integers(1, 4)))]
+        for i in range(n_images)
+    }
+    gen = {str(i): [sentence()] for i in range(n_images)}
+    # make some hypotheses share long prefixes with a reference
+    for i in range(0, n_images, 3):
+        base = gts[str(i)][0].split()
+        gen[str(i)] = [" ".join(base[: max(2, len(base) - 2)])]
+    return gts, gen
+
+
+@pytest.fixture(scope="module")
+def ref_eval(ref):
+    # import submodules directly — evaluation/__init__ pulls Meteor, whose
+    # constructor downloads a jar (meteor/meteor.py:17-24, offline here)
+    sys.path.insert(0, REFERENCE)
+    try:
+        from evaluation.bleu.bleu import Bleu as RefBleu
+        from evaluation.cider.cider import Cider as RefCider
+        from evaluation.rouge.rouge import Rouge as RefRouge
+
+        yield types.SimpleNamespace(Bleu=RefBleu, Rouge=RefRouge, Cider=RefCider)
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bleu_matches_reference(ref_eval, seed):
+    from openviic_tpu.evaluation import Bleu
+
+    gts, gen = _random_corpus(seed=seed)
+    ref_score, ref_scores = ref_eval.Bleu(4).compute_score(gts, gen)
+    got_score, got_scores = Bleu().compute_score(gts, gen)
+    np.testing.assert_almost_equal(got_score, ref_score, decimal=10)
+    np.testing.assert_almost_equal(
+        np.asarray(got_scores, dtype=float),
+        np.asarray(ref_scores, dtype=float),
+        decimal=10,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_rouge_matches_reference(ref_eval, seed):
+    from openviic_tpu.evaluation import Rouge
+
+    gts, gen = _random_corpus(seed=seed)
+    ref_score, ref_scores = ref_eval.Rouge().compute_score(gts, gen)
+    got_score, got_scores = Rouge().compute_score(gts, gen)
+    np.testing.assert_almost_equal(got_score, ref_score, decimal=10)
+    np.testing.assert_almost_equal(
+        np.asarray(got_scores, dtype=float),
+        np.asarray(ref_scores, dtype=float),
+        decimal=10,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cider_matches_reference(ref_eval, seed):
+    from openviic_tpu.evaluation import Cider
+
+    gts, gen = _random_corpus(seed=seed)
+    ref_score, ref_scores = ref_eval.Cider().compute_score(gts, gen)
+    got_score, got_scores = Cider().compute_score(gts, gen)
+    np.testing.assert_almost_equal(got_score, ref_score, decimal=10)
+    np.testing.assert_almost_equal(
+        np.asarray(got_scores, dtype=float),
+        np.asarray(ref_scores, dtype=float),
+        decimal=10,
+    )
+
+
+def test_native_cider_matches_reference(ref_eval):
+    """The C++ CIDEr must match the reference implementation too."""
+    from openviic_tpu import native
+
+    if not native.available():
+        pytest.skip("native extension not built")
+    gts, gen = _random_corpus(seed=3)
+    ref_score, _ = ref_eval.Cider().compute_score(gts, gen)
+    got_score, _ = native.NativeCider().compute_score(gts, gen)
+    np.testing.assert_almost_equal(got_score, ref_score, decimal=10)
