@@ -66,6 +66,10 @@ def bench_jax() -> float:
         functools.partial(
             beam_search, model, beam_size=BEAM, out_size=1,
             compute_dtype=jnp.bfloat16,
+            # beam-resident decode: no cache gathers, dedup cross K/V,
+            # fused hierarchical selection — token-identical to the default
+            # path (tests/test_beam_search_variants.py)
+            beam_resident=True,
         )
     )
     # warm up twice, materializing on host — on the axon tunnel the first

@@ -99,6 +99,107 @@ def _select_topk(candidate_logprob: jnp.ndarray, beam_size: int):
     return sel_v, selected_beam, selected_words
 
 
+def _gather_beams_onehot(x: jnp.ndarray, selected_beam: jnp.ndarray) -> jnp.ndarray:
+    """Beam-axis gather of a small (bs, beam, ...) tensor via one-hot
+    contraction.  ``take_along_axis`` on these shapes lowers to a slow
+    per-element gather on TPU (~90us/step each in the decode profile); the
+    one-hot einsum is a vectorised VPU op.  Exact for ints < 2^24."""
+    n_beams = x.shape[1]
+    onehot = (
+        selected_beam[..., None] == jnp.arange(n_beams, dtype=selected_beam.dtype)
+    ).astype(jnp.float32)
+    flat = x.reshape(x.shape[0], n_beams, -1).astype(jnp.float32)
+    out = jnp.einsum("bqp,bpk->bqk", onehot, flat)
+    return out.reshape((x.shape[0], n_beams) + x.shape[2:]).astype(x.dtype)
+
+
+def _select_topk_hier(
+    logits: jnp.ndarray,  # (bs, beam, V) raw head outputs, f32
+    offset: jnp.ndarray,  # (bs, beam) seq_logprob - logsumexp per live row
+    finished: jnp.ndarray,  # (bs, beam) bool — beam already emitted eos
+    seq_logprob: jnp.ndarray,  # (bs, beam)
+    beam_size: int,
+    tile: int = 512,
+):
+    """Exact top-k with one full pass over the vocab instead of ~k.
+
+    Stage 1 (per beam): tile maxima (single read of ``logits``), then k
+    iterations that touch only the winning 1-tile slice.  The -999
+    finished-beam continuation (beam_search.py:48-55) never needs a vocab
+    scan: its candidate set is exactly {word 0 @ seq_logprob, every other
+    word @ -999}, substituted analytically.  Stage 2: exact top-k over the
+    beam*k survivors.  Tie order matches the flattened argsort
+    (beam-major, ascending word index), same as ``_select_topk``.
+
+    Returns (selected_logprob, selected_beam, selected_words,
+    selected_word_logit) where the last is the raw logit of each chosen
+    word (callers turn it into a log-prob with the per-row lse)."""
+    b_s, n_beams, V = logits.shape
+    n_tiles = -(-V // tile)
+    pad = n_tiles * tile - V
+    if pad:
+        logits = jnp.pad(logits, ((0, 0), (0, 0), (0, pad)), constant_values=-jnp.inf)
+    tiles = logits.reshape(b_s, n_beams, n_tiles, tile)
+    tmax = jnp.max(tiles, axis=-1)  # (bs, beam, n_tiles) — the one full pass
+
+    col = jnp.arange(tile)[None, None, :]
+    tcol = jnp.arange(n_tiles)[None, None, :]
+    picked = []  # (jt, jw, val) per iteration
+    for _ in range(beam_size):
+        jt = jnp.argmax(tmax, axis=-1)  # (bs, beam) winning tile, first on ties
+        t_sel = jnp.take_along_axis(tiles, jt[..., None, None], axis=2)[..., 0, :]
+        for p_jt, p_jw, _ in picked:  # re-mask words already extracted
+            t_sel = jnp.where(
+                jnp.logical_and((jt == p_jt)[..., None], col == p_jw[..., None]),
+                -jnp.inf,
+                t_sel,
+            )
+        jw = jnp.argmax(t_sel, axis=-1)  # (bs, beam)
+        val = jnp.take_along_axis(t_sel, jw[..., None], axis=-1)[..., 0]
+        picked.append((jt, jw, val))
+        # refresh the winning tile's max with the chosen word removed
+        t_rem = jnp.where(col == jw[..., None], -jnp.inf, t_sel)
+        tmax = jnp.where(
+            tcol == jt[..., None], jnp.max(t_rem, axis=-1)[..., None], tmax
+        )
+
+    s1_words = jnp.stack([jt * tile + jw for jt, jw, _ in picked], axis=-1)
+    s1_logit = jnp.stack([v for _, _, v in picked], axis=-1)  # raw logits
+    s1_vals = s1_logit + offset[..., None]
+
+    # finished beams: candidate 0 is word 0 at the frozen seq log-prob,
+    # every other word sits at exactly -999 (the reference's continuation
+    # trick) — no scan needed
+    first = seq_logprob >= -999.0
+    fin_vals = jnp.where(
+        first[..., None],
+        jnp.concatenate(
+            [seq_logprob[..., None], jnp.full_like(s1_vals[..., 1:], -999.0)], -1
+        ),
+        jnp.full_like(s1_vals, -999.0),
+    )
+    fin_words = jnp.where(
+        first[..., None],
+        jnp.arange(beam_size)[None, None, :],
+        jnp.arange(1, beam_size + 1)[None, None, :],
+    )
+    s1_vals = jnp.where(finished[..., None], fin_vals, s1_vals)
+    s1_words = jnp.where(finished[..., None], fin_words, s1_words)
+    s1_logit = jnp.where(finished[..., None], 0.0, s1_logit)
+
+    # stage 2: exact top-k over beam*k survivors (beam-major tie order)
+    flat_vals = s1_vals.reshape(b_s, n_beams * beam_size)
+    sel_v, sel_i = jax.lax.top_k(flat_vals, beam_size)
+    selected_beam = sel_i // beam_size
+    selected_words = jnp.take_along_axis(
+        s1_words.reshape(b_s, n_beams * beam_size), sel_i, axis=1
+    )
+    selected_logit = jnp.take_along_axis(
+        s1_logit.reshape(b_s, n_beams * beam_size), sel_i, axis=1
+    )
+    return sel_v, selected_beam, selected_words, selected_logit
+
+
 def _split_cache(cache):
     """Separate the per-step-mutable part (self KV + pad) from the static
     cross-attention KV, so the scan carry (gathered every step) stays small."""
@@ -129,6 +230,10 @@ def beam_search(
     compute_dtype: Optional[jnp.dtype] = None,
     return_probs: bool = False,
     lazy_reorder: bool = False,
+    beam_resident: bool = False,
+    fast_select: Optional[bool] = None,
+    resident_kernel: bool = False,
+    unroll: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run batched beam search; returns (outputs, log_probs).
 
@@ -156,14 +261,31 @@ def beam_search(
             batch,
         )
 
+    if resident_kernel:
+        # the fused Pallas layer kernel implements the beam-resident math
+        beam_resident = True
+    if beam_resident:
+        # beam-resident mode: the KV caches are never reordered (ancestry
+        # one-hot selection inside the attention) and the cross-attention
+        # K/V + mask stay at image granularity — cache traffic drops by
+        # the gather rewrite and the beam factor respectively
+        lazy_reorder = True
+    if fast_select is None:
+        fast_select = beam_resident
+    if return_probs:
+        # the full per-step distributions are requested — the fused
+        # selection path never materialises them
+        fast_select = False
+
     # 1) encode once at batch size, then broadcast to beams
     memory, memory_mask = model.apply(
         params, batch, method=model.encoder_forward
     )
     b_s = jax.tree.leaves(memory)[0].shape[0]
 
-    memory = _expand_to_beams(memory, beam_size)
-    memory_mask = _expand_to_beams(memory_mask, beam_size)
+    if not beam_resident:
+        memory = _expand_to_beams(memory, beam_size)
+        memory_mask = _expand_to_beams(memory_mask, beam_size)
 
     # 2) build + prepare the decode cache at bs*beam; the cross-attention
     # K/V is identical across beams and never mutated — keep it out of the
@@ -219,69 +341,95 @@ def beam_search(
                 t,
                 axis=2,
             )
-        word_logprob, new_cache = model.apply(
+        head, new_cache = model.apply(
             params,
             t,
             carry["selected_words"],
             _merge_cache(static_cache, carry["cache"]),
             memory_mask,
             ancestry,
+            beam_size if beam_resident else None,
+            fast_select,
+            resident_kernel,
             method=model.decode_step,
         )
         _, new_cache = _split_cache(new_cache)
-        word_logprob = word_logprob.astype(jnp.float32).reshape(
-            b_s, beam_size, vocab_size
-        )
         seq_logprob = carry["seq_logprob"]
-        candidate_logprob = seq_logprob + word_logprob
-
-        # --- eos masking (active for t > 0; beam_search.py:48-55) -------
         prev_words = carry["selected_words"].reshape(b_s, beam_size)
         not_eos = (prev_words != eos_idx).astype(seq_logprob.dtype)[..., None]
         seq_mask_t = jnp.where(t > 0, carry["seq_mask"] * not_eos, carry["seq_mask"])
-        word_logprob_eff = jnp.where(t > 0, word_logprob * seq_mask_t, word_logprob)
-        old_seq_logprob = jnp.where(
-            jnp.arange(vocab_size)[None, None, :] >= 1, -999.0, seq_logprob
-        )
-        candidate_logprob = jnp.where(
-            t > 0,
-            seq_mask_t * candidate_logprob + old_seq_logprob * (1.0 - seq_mask_t),
-            candidate_logprob,
-        )
 
-        # --- select top beam_size over (beam*vocab) ---------------------
-        # Two-stage selection: per-beam top-k via iterative argmax (k max
-        # reductions beat a sort-based top_k over beam*V on TPU — measured
-        # ~13ms -> ~1ms at V=10k), then an exact top-k over the beam*k
-        # survivors.  Tie-breaking matches the flattened argsort order
-        # (beam-major, then ascending word index).
-        selected_logprob, selected_beam, selected_words = _select_topk(
-            candidate_logprob, beam_size
-        )
-
-        # --- reorder all state by selected_beam -------------------------
-        if lazy_reorder:
-            # only the ancestry table is gathered; the caches stay put
-            new_ancestry = jnp.take_along_axis(
-                ancestry, selected_beam[..., None], axis=1
+        if fast_select:
+            # One full-vocab pass total: the decoder returned raw logits +
+            # per-row logsumexp; candidate = (seq_lp - lse) + logit folds
+            # log-softmax into the per-row offset, the -999 finished-beam
+            # candidates are substituted analytically, and the hierarchical
+            # top-k reads the logits once.
+            logits, lse = head
+            logits = logits.reshape(b_s, beam_size, vocab_size)
+            lse = lse.reshape(b_s, beam_size)
+            seq_lp = seq_logprob[..., 0]
+            finished = jnp.logical_and(t > 0, seq_mask_t[..., 0] == 0.0)
+            offset = seq_lp - lse
+            (
+                selected_logprob, selected_beam, selected_words, selected_logit,
+            ) = _select_topk_hier(logits, offset, finished, seq_lp, beam_size)
+            lse_sel = _gather_beams_onehot(lse, selected_beam)
+            fin_sel = _gather_beams_onehot(finished, selected_beam)
+            this_word_logprob = jnp.where(
+                fin_sel, 0.0, selected_logit - lse_sel
             )
         else:
-            new_cache = _gather_beams(new_cache, selected_beam, b_s, beam_size)
-        seq_mask_t = jnp.take_along_axis(seq_mask_t, selected_beam[..., None], axis=1)
-        outputs = jnp.take_along_axis(
-            carry["outputs"], selected_beam[..., None], axis=1
+            word_logprob = head.astype(jnp.float32).reshape(
+                b_s, beam_size, vocab_size
+            )
+            candidate_logprob = seq_logprob + word_logprob
+
+            # --- eos masking (active for t > 0; beam_search.py:48-55) ---
+            word_logprob_eff = jnp.where(
+                t > 0, word_logprob * seq_mask_t, word_logprob
+            )
+            old_seq_logprob = jnp.where(
+                jnp.arange(vocab_size)[None, None, :] >= 1, -999.0, seq_logprob
+            )
+            candidate_logprob = jnp.where(
+                t > 0,
+                seq_mask_t * candidate_logprob + old_seq_logprob * (1.0 - seq_mask_t),
+                candidate_logprob,
+            )
+
+            # --- select top beam_size over (beam*vocab) -----------------
+            # Two-stage selection: per-beam top-k via iterative argmax (k
+            # max reductions beat a sort-based top_k over beam*V on TPU —
+            # measured ~13ms -> ~1ms at V=10k), then an exact top-k over
+            # the beam*k survivors.  Tie-breaking matches the flattened
+            # argsort order (beam-major, then ascending word index).
+            selected_logprob, selected_beam, selected_words = _select_topk(
+                candidate_logprob, beam_size
+            )
+            this_word_logprob = jnp.take_along_axis(
+                word_logprob_eff, selected_beam[..., None], axis=1
+            )
+            this_word_logprob = jnp.take_along_axis(
+                this_word_logprob, selected_words[..., None], axis=2
+            )[..., 0]  # (bs, beam)
+
+        # --- reorder all state by selected_beam -------------------------
+        small_gather = _gather_beams_onehot if fast_select else (
+            lambda x, sb: jnp.take_along_axis(
+                x, sb.reshape(sb.shape + (1,) * (x.ndim - 2)), axis=1
+            )
         )
+        if lazy_reorder:
+            # only the ancestry table is gathered; the caches stay put
+            new_ancestry = small_gather(ancestry, selected_beam)
+        else:
+            new_cache = _gather_beams(new_cache, selected_beam, b_s, beam_size)
+        seq_mask_t = small_gather(seq_mask_t, selected_beam)
+        outputs = small_gather(carry["outputs"], selected_beam)
         outputs = outputs.at[:, :, t].set(selected_words)
 
-        this_word_logprob = jnp.take_along_axis(
-            word_logprob_eff, selected_beam[..., None], axis=1
-        )  # (bs, beam, V) rows reordered
-        this_word_logprob = jnp.take_along_axis(
-            this_word_logprob, selected_words[..., None], axis=2
-        )[..., 0]  # (bs, beam)
-        log_probs = jnp.take_along_axis(
-            carry["log_probs"], selected_beam[..., None], axis=1
-        )
+        log_probs = small_gather(carry["log_probs"], selected_beam)
         log_probs = log_probs.at[:, :, t].set(this_word_logprob)
 
         if return_probs:
@@ -305,7 +453,18 @@ def beam_search(
             new_carry["all_log_probs"] = carry["all_log_probs"]
         return new_carry, None
 
-    if early_exit:
+    if unroll:
+        # fully-unrolled decode: every step has a *static* t, so XLA can
+        # hoist the per-iteration weight staging out of the loop (a
+        # while-loop body re-prefetches every loop-invariant buffer each
+        # iteration — the dominant cost in the decode profile) and
+        # software-pipeline across steps.  No early exit (the reference's
+        # fixed max_len loop, beam_search.py:94-95).
+        carry = init
+        for t in range(max_len):
+            carry, _ = step_fn(carry, t)
+        final = carry
+    elif early_exit:
         # while_loop variant: stop once every beam of every image has
         # emitted <eos>.  Finished-state steps are no-ops on all observable
         # outputs (finished beams keep word 0 at their frozen log-prob and

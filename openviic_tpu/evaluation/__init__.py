@@ -12,7 +12,8 @@ the reference shells out to three Java jars, SURVEY.md §2.1).
 import os
 
 from openviic_tpu.evaluation.bleu import Bleu
-from openviic_tpu.evaluation.meteor import Meteor
+from openviic_tpu.evaluation.meteor import MeteorClassic
+from openviic_tpu.evaluation.meteor15 import Meteor15 as Meteor
 from openviic_tpu.evaluation.rouge import Rouge
 from openviic_tpu.evaluation.cider import Cider
 from openviic_tpu.evaluation.ptb_tokenizer import PTBTokenizer
@@ -22,13 +23,16 @@ def _metrics():
     """Prefer the native C++ METEOR/CIDEr when built (bit-identical to the
     Python implementations — tests/test_native.py); OPENVIIC_NATIVE=0
     disables."""
+    # METEOR: the 1.5 en-norm parameterisation (meteor15.py) — matches the
+    # reference's jar invocation; the native C++ scorer implements the 2007
+    # classic parameters, so it no longer substitutes here
     meteor, cider = Meteor(), Cider()
     if os.environ.get("OPENVIIC_NATIVE", "1") != "0":
         try:
             from openviic_tpu import native
 
             if native.available():
-                meteor, cider = native.NativeMeteor(), native.NativeCider()
+                cider = native.NativeCider()
         except Exception:
             pass
     return (Bleu(), meteor, Rouge(), cider)
@@ -44,4 +48,4 @@ def compute_scores(gts, gen):
     return all_score, all_scores
 
 
-__all__ = ["Bleu", "Meteor", "Rouge", "Cider", "PTBTokenizer", "compute_scores"]
+__all__ = ["Bleu", "Meteor", "MeteorClassic", "Rouge", "Cider", "PTBTokenizer", "compute_scores"]

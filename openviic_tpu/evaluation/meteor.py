@@ -14,12 +14,10 @@ natively with the METEOR algorithm:
  - corpus score from aggregated statistics of each segment's best
    reference (as the jar aggregates), not the mean of segment scores.
 
-Known deviation: the jar's synonym (WordNet) and paraphrase-table modules
-require data files unavailable offline; without them scores are slightly
-lower than the jar on English.  For Vietnamese — the primary language of
-this framework — those English modules add noise rather than signal, so
-exact+stem is the more principled default.  The module mirror structure
-allows plugging a synonym table in later.
+This is the *classic* (2007) parameterisation, kept for comparison and
+for the native C++ scorer parity tests.  The default METEOR used by
+``compute_scores`` is the 1.5 en-norm parameterisation matching the
+reference's jar invocation — see meteor15.py.
 """
 
 from __future__ import annotations
@@ -103,7 +101,7 @@ def _score_from_stats(m: int, hyp_len: int, ref_len: int, ch: int) -> float:
     return fmean * (1 - penalty)
 
 
-class Meteor:
+class MeteorClassic:
     def compute_score(self, gts: Dict, res: Dict):
         assert gts.keys() == res.keys()
         scores = []
@@ -124,3 +122,7 @@ class Meteor:
 
     def __str__(self) -> str:
         return "METEOR"
+
+
+# backwards-compatible alias (the 2007-parameter scorer)
+Meteor2007 = MeteorClassic

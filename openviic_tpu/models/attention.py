@@ -174,6 +174,87 @@ class ScaledDotProductAttention(nn.Module, _ProjectionMixin):
         out = _attend(q, k, v, self.d_k, attention_mask)
         return self.output(out)
 
+    # -- beam-resident decode (no physical beam reorder) -----------------
+    def attend_projected_beam_select(
+        self, q_t, k, v, ancestry, position_mask, mask_axis: str = "q"
+    ):
+        """Self-attention decode step over *all* beams' unreordered caches.
+
+        Replaces gather-reorder + attend (the reference's
+        ``apply_to_states`` at beam_search.py:61 and our
+        ``_gather_beams``): scores are computed against every beam slot's
+        cache of the same image and the true ancestor is selected with an
+        ancestry one-hot mask inside the softmax.  The multi-MB cache is
+        read once and never rewritten; the extra score FLOPs
+        (beam× more) are noise next to the MXU's capacity.
+
+        q_t: (bs*beam, 1, h, d_k) this step's queries;
+        k/v: (bs*beam, L, h, d) append-only caches (each beam writes its
+             own slot);
+        ancestry: (bs, beam, L) — the slot holding position t' of each
+             current beam's prefix;
+        position_mask: (bs*beam, 1, 1, L) bool, True = masked.  With
+             ``mask_axis='q'`` the mask is already ancestry-resolved per
+             current beam; with ``mask_axis='p'`` it is the *raw* per-slot
+             mask (pad written at each slot's own row) and is applied on
+             the slot axis — equivalent because position (q, t') only
+             survives at slot p = ancestry[q, t'], and saves the
+             take_along_axis pad resolve (a slow per-element gather on
+             TPU)."""
+        b_s, n_beams, L = ancestry.shape
+        h, d_k = q_t.shape[2], q_t.shape[3]
+        qb = q_t.reshape(b_s, n_beams, h, d_k)
+        kb = k.reshape(b_s, n_beams, L, h, self.d_k)
+        vb = v.reshape(b_s, n_beams, L, h, self.d_v)
+
+        att = jnp.einsum(
+            "bqhd,bpLhd->bqpLh", qb, kb, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(self.d_k, jnp.float32))
+        onehot = (
+            ancestry[:, :, None, :]
+            == jnp.arange(n_beams, dtype=ancestry.dtype)[None, None, :, None]
+        )  # (bs, q, p, L)
+        if mask_axis == "p":
+            not_masked = ~position_mask.reshape(b_s, 1, n_beams, L)
+        else:
+            not_masked = ~position_mask.reshape(b_s, n_beams, 1, L)
+        live = jnp.logical_and(onehot, not_masked)
+        att = jnp.where(live[..., None], att, -jnp.inf)
+        # exactly one live slot per (q, position): softmax over the joint
+        # (slot, position) axis equals softmax over the resolved positions
+        att = jax.nn.softmax(att.reshape(b_s, n_beams, n_beams * L, h), axis=2)
+        att = att.reshape(b_s, n_beams, n_beams, L, h)
+        out = jnp.einsum(
+            "bqpLh,bpLhd->bqhd", att, vb, preferred_element_type=jnp.float32
+        ).astype(q_t.dtype)
+        return self.output(out.reshape(b_s * n_beams, 1, h, self.d_v))
+
+    def attend_cached_grouped(self, queries, k, v, attention_mask, n_beams: int):
+        """Cross-attention with K/V kept at image granularity.
+
+        The encoder memory's K/V is identical across a beam group — the
+        reference (and the default path) expand it beam-wise; here the
+        beams of one image attend to one shared copy, cutting the
+        cross-cache HBM traffic by the beam factor and turning beam
+        mat-vecs into small matmuls.
+
+        queries: (bs*beam, 1, d_model); k/v: (bs, M, h, d);
+        attention_mask: (bs, 1, 1, M) True = masked."""
+        b_s, M = k.shape[0], k.shape[1]
+        q = self.project_q(queries).reshape(b_s, n_beams, self.h, self.d_k)
+        att = jnp.einsum(
+            "bqhd,bMhd->bqMh", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(self.d_k, jnp.float32))
+        if attention_mask is not None:
+            att = jnp.where(
+                attention_mask.reshape(b_s, 1, M, 1), -jnp.inf, att
+            )
+        att = jax.nn.softmax(att, axis=2)
+        out = jnp.einsum(
+            "bqMh,bMhd->bqhd", att, v, preferred_element_type=jnp.float32
+        ).astype(queries.dtype)
+        return self.output(out.reshape(b_s * n_beams, 1, self.h, self.d_v))
+
 
 @META_ATTENTION.register()
 class AugmentedGeometryScaledDotProductAttention(nn.Module, _ProjectionMixin):
@@ -388,6 +469,8 @@ class MultiHeadAttention(nn.Module):
         static_cache: bool = False,
         train: bool = False,
         ancestry: Optional[jnp.ndarray] = None,
+        beam_select: Optional[int] = None,
+        mask_axis: str = "q",
         **kwargs,
     ):
         if cache is None:
@@ -399,9 +482,19 @@ class MultiHeadAttention(nn.Module):
         # --- cached decode path ----------------------------------------
         if static_cache:
             # cross-attention: K/V precomputed over encoder memory
-            out = self.attention.attend_cached(
-                queries, cache["k"], cache["v"], attention_mask, **kwargs
-            )
+            if (
+                beam_select is not None
+                and cache["k"].shape[0] != queries.shape[0]
+                and hasattr(self.attention, "attend_cached_grouped")
+                and not kwargs
+            ):
+                out = self.attention.attend_cached_grouped(
+                    queries, cache["k"], cache["v"], attention_mask, beam_select
+                )
+            else:
+                out = self.attention.attend_cached(
+                    queries, cache["k"], cache["v"], attention_mask, **kwargs
+                )
             return self._finish(queries, out, train), cache
 
         # self-attention: write this step's projected K/V at decode_index.
@@ -417,6 +510,18 @@ class MultiHeadAttention(nn.Module):
             k_t, v_t = self.attention.project_kv(keys)  # (bs, 1, h, d)
         k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_t, decode_index, axis=1)
         v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_t, decode_index, axis=1)
+        if (
+            beam_select is not None
+            and ancestry is not None
+            and q_t is not None
+            and hasattr(self.attention, "attend_projected_beam_select")
+        ):
+            # beam-resident: no gather at all — scores against every slot's
+            # cache, ancestry one-hot selection inside the softmax
+            out = self.attention.attend_projected_beam_select(
+                q_t, k, v, ancestry, attention_mask, mask_axis=mask_axis
+            )
+            return self._finish(queries, out, train), {"k": k, "v": v}
         k_read, v_read = k, v
         if ancestry is not None:
             k_read = _resolve_ancestry(k, ancestry)

@@ -70,7 +70,17 @@ class BaseTransformer(nn.Module):
         return self.decoder.prepare_cache(cache, encoder_features)
 
     def decode_step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
-                    ancestry=None):
+                    ancestry=None, beam_select=None, raw_head: bool = False,
+                    resident_kernel: bool = False):
+        kwargs = {}
+        if beam_select is not None:
+            # beam-resident decode (decoding/beam_search.py beam_resident):
+            # the static beam size flows to the attention layers so they can
+            # group rows by image
+            kwargs["beam_select"] = beam_select
+            if resident_kernel:
+                kwargs["resident_kernel"] = True
         return self.decoder.step(
-            t, tokens_t, cache, encoder_attention_mask, ancestry=ancestry
+            t, tokens_t, cache, encoder_attention_mask, ancestry=ancestry,
+            raw_head=raw_head, **kwargs
         )

@@ -79,7 +79,14 @@ class DecoderLayer(nn.Module):
         return {"cross": self.enc_attn.precompute_cache(memory)}
 
     def step(self, queries, layer_cache, decode_index, self_attention_mask,
-             enc_attention_mask, ancestry=None, **kwargs):
+             enc_attention_mask, ancestry=None, resident_kernel=False,
+             is_pad_t=None, **kwargs):
+        if resident_kernel and self._can_resident_step(kwargs, ancestry, is_pad_t):
+            return self._resident_step(
+                queries, layer_cache, decode_index, self_attention_mask,
+                enc_attention_mask, ancestry, is_pad_t,
+                kwargs["beam_select"],
+            )
         if self._can_fuse_step(kwargs, ancestry):
             return self._fused_step(
                 queries, layer_cache, decode_index,
@@ -100,6 +107,45 @@ class DecoderLayer(nn.Module):
         new_cache = dict(layer_cache)
         new_cache["self"] = self_cache
         return ff, new_cache
+
+    # -- beam-resident fused layer step (ops/resident_layer_step.py) -----
+    def _can_resident_step(self, kwargs, ancestry, is_pad_t) -> bool:
+        return (
+            ancestry is not None
+            and is_pad_t is not None
+            and kwargs.get("beam_select") is not None
+            and set(kwargs) <= {"beam_select", "mask_axis"}
+            and type(self.self_attn.attention).__name__ == "ScaledDotProductAttention"
+            and type(self.enc_attn.attention).__name__ == "ScaledDotProductAttention"
+            and not self.self_attn.use_aoa
+            and not self.enc_attn.use_aoa
+        )
+
+    def _resident_step(self, queries, layer_cache, decode_index,
+                       self_attention_mask, enc_attention_mask, ancestry,
+                       is_pad_t, beam):
+        from openviic_tpu.ops.resident_layer_step import resident_layer_step
+
+        sc, cc = layer_cache["self"], layer_cache["cross"]
+        y, k_new, v_new = resident_layer_step(
+            queries,
+            sc["k"], sc["v"],
+            cc["k"], cc["v"],
+            ancestry,
+            self_attention_mask,
+            enc_attention_mask,
+            is_pad_t,
+            jnp.asarray(decode_index),
+            self._fused_weights(),
+            n_heads=sc["k"].shape[2],
+        )
+        k = jax.lax.dynamic_update_slice_in_dim(
+            sc["k"], k_new[:, None], decode_index, axis=1
+        )
+        v = jax.lax.dynamic_update_slice_in_dim(
+            sc["v"], v_new[:, None], decode_index, axis=1
+        )
+        return y, {"cross": cc, "self": {"k": k, "v": v}}
 
     # -- fused single-kernel step (OPENVIIC_FUSED_STEP=1) ----------------
     def _can_fuse_step(self, kwargs, ancestry) -> bool:
@@ -374,11 +420,24 @@ class _DecoderBase(nn.Module):
         return pad, self_mask
 
     def step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
-             ancestry=None, **kwargs):
+             ancestry=None, raw_head: bool = False, resident_kernel: bool = False,
+             **kwargs):
         """One decode step.  ``tokens_t``: (bs, 1) current input token.
 
-        Returns (log_probs (bs, vocab), new_cache)."""
-        pad, self_mask = self._step_masks(tokens_t, t, cache, ancestry=ancestry)
+        Returns (log_probs (bs, vocab), new_cache); with ``raw_head`` the
+        first element is ``(logits (bs, vocab) f32, logsumexp (bs,))`` so
+        the beam-search fast path can fold the log-softmax into selection
+        instead of materialising the full distribution."""
+        # In pure-XLA beam-resident mode the pad mask stays *raw* (each
+        # slot's own rows) and is applied on the slot axis inside the
+        # attention (attention.py mask_axis='p') — the per-q ancestry
+        # resolve is a slow per-element gather on TPU
+        raw_mask = (
+            kwargs.get("beam_select") is not None and ancestry is not None
+        )
+        pad, self_mask = self._step_masks(
+            tokens_t, t, cache, ancestry=None if raw_mask else ancestry
+        )
         # Each reference layer zeroes its output where the *input* token is
         # pad (decoders.py:26 ``ff.masked_fill(self_padding_mask...)``) —
         # this fires for live beams that emit <pad> as a word, so skipping
@@ -389,6 +448,13 @@ class _DecoderBase(nn.Module):
         # position index is t+1 regardless of pad (decoders.py:107-109)
         out = embedded + self.pos_table[t + 1][None, None, :].astype(embedded.dtype)
 
+        layer_kwargs = dict(kwargs)
+        if raw_mask:
+            layer_kwargs["mask_axis"] = "p"
+        if resident_kernel:
+            # the fused layer kernel applies the pad-zeroing itself
+            layer_kwargs.update(resident_kernel=True, is_pad_t=is_pad[:, :, 0])
+
         new_layers = []
         for layer, layer_cache in zip(self.layers, cache["layers"]):
             out, lc = layer.step(
@@ -396,14 +462,17 @@ class _DecoderBase(nn.Module):
                 self_attention_mask=self_mask,
                 enc_attention_mask=encoder_attention_mask,
                 ancestry=ancestry,
-                **kwargs,
+                **layer_kwargs,
             )
             out = jnp.where(is_pad, 0.0, out)
             new_layers.append(lc)
 
-        out = self.fc(out)
-        log_probs = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)[:, 0, :]
-        return log_probs, {"layers": new_layers, "pad": pad}
+        logits = self.fc(out).astype(jnp.float32)[:, 0, :]
+        new_cache = {"layers": new_layers, "pad": pad}
+        if raw_head:
+            lse = jax.scipy.special.logsumexp(logits, axis=-1)
+            return (logits, lse), new_cache
+        return jax.nn.log_softmax(logits, axis=-1), new_cache
 
 
 @META_DECODER.register()
@@ -499,7 +568,7 @@ class AdaptiveDecoder(_DecoderBase):
         return jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
 
     def step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
-             ancestry=None, **kwargs):
+             ancestry=None, raw_head: bool = False, **kwargs):
         pad, self_mask = self._step_masks(tokens_t, t, cache, ancestry=ancestry)
         is_pad = (tokens_t == self.padding_idx)[:, :1, None]  # (bs, 1, 1)
 
@@ -520,6 +589,9 @@ class AdaptiveDecoder(_DecoderBase):
             out = jnp.where(is_pad, 0.0, out)
             new_layers.append(lc)
 
-        out = self.fc(out)
-        log_probs = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)[:, 0, :]
-        return log_probs, {"layers": new_layers, "pad": pad}
+        logits = self.fc(out).astype(jnp.float32)[:, 0, :]
+        new_cache = {"layers": new_layers, "pad": pad}
+        if raw_head:
+            lse = jax.scipy.special.logsumexp(logits, axis=-1)
+            return (logits, lse), new_cache
+        return jax.nn.log_softmax(logits, axis=-1), new_cache

@@ -176,6 +176,8 @@ def fused_attention(
     dv = v.shape[3]
     if sm_scale is None:
         sm_scale = 1.0 / (d**0.5)
+    if not _HAS_PLTPU:
+        return _reference_attention(q, k, v, bias, sm_scale)
 
     interpret = _interpret_mode()
 
@@ -210,8 +212,6 @@ def fused_attention(
         )
         bias_full = b_f.reshape(B * h, pq, pk)
 
-    if not _HAS_PLTPU:
-        return _reference_attention(q, k, v, bias, sm_scale)
     out = _fused_attention_padded(
         qb, kb, vb, bias_full, sm_scale, block_q, block_k, interpret
     )

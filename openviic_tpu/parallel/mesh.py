@@ -136,45 +136,49 @@ def make_sharded_xe_step(model, optimizer, mesh: Mesh):
     return jax.jit(xe_step, donate_argnums=(0,))
 
 
-def shard_state(state, mesh: Mesh):
-    """Place a train-state pytree onto the mesh (params per TP rules,
-    opt_state following params, scalars replicated)."""
+def shard_state(state, mesh: Mesh, optimizer=None):
+    """Place a train-state pytree onto the mesh.
+
+    Params follow ``param_shardings`` (TP rules when the mesh has a
+    'model' axis); optimizer state mirrors the param shardings on its
+    param-shaped leaves (adam mu/nu, etc.) and is replicated elsewhere
+    (counts, scalars); step/rng are replicated.
+
+    With ``optimizer`` given, param-like leaves are identified exactly via
+    ``optax.tree_map_params``; otherwise any opt_state subtree whose
+    treedef equals the params' treedef follows the param shardings."""
+    import optax
+
     p_sh = param_shardings(state["params"], mesh)
     repl = replicate_sharding(mesh)
 
     params = jax.device_put(state["params"], p_sh)
+    params_def = jax.tree.structure(state["params"])
 
-    # optimizer state mirrors param structure where it embeds param-shaped
-    # leaves (adam mu/nu); replicate everything else
-    def put_opt(x):
-        return jax.device_put(x, repl)
+    if optimizer is not None:
+        opt_state = optax.tree_map_params(
+            optimizer,
+            lambda leaf, sh: jax.device_put(leaf, sh),
+            state["opt_state"],
+            p_sh,
+            transform_non_params=lambda leaf: jax.device_put(leaf, repl),
+        )
+    else:
 
-    try:
-        import optax
+        def is_params_like(subtree) -> bool:
+            try:
+                return jax.tree.structure(subtree) == params_def
+            except Exception:
+                return False
 
-        def match(opt_leaf_tree):
-            return jax.device_put(opt_leaf_tree, p_sh)
+        def put_entry(subtree):
+            if is_params_like(subtree):
+                return jax.device_put(subtree, p_sh)
+            return jax.device_put(subtree, repl)
 
         opt_state = jax.tree.map(
-            lambda x: x,
-            state["opt_state"],
+            put_entry, state["opt_state"], is_leaf=is_params_like
         )
-        # adam: ScaleByAdamState(count, mu, nu) — mu/nu are param-shaped
-        new_opt = []
-        for entry in state["opt_state"]:
-            if hasattr(entry, "mu") and hasattr(entry, "nu"):
-                new_opt.append(
-                    entry._replace(
-                        count=jax.device_put(entry.count, repl),
-                        mu=jax.device_put(entry.mu, p_sh),
-                        nu=jax.device_put(entry.nu, p_sh),
-                    )
-                )
-            else:
-                new_opt.append(jax.tree.map(put_opt, entry))
-        opt_state = tuple(new_opt)
-    except Exception:
-        opt_state = jax.device_put(state["opt_state"], repl)
 
     return {
         "params": params,

@@ -130,3 +130,84 @@ def test_adaptive_decoder_beam_search(tiny_vocab):
     outs, lps = beam_search(model, params, batch, beam_size=2, out_size=1)
     assert outs.shape == (2, tiny_vocab.max_caption_length)
     assert np.isfinite(np.asarray(lps)).all()
+
+
+# ------------------------------------------------- beam-resident decode
+@pytest.mark.parametrize(
+    "arch,encoder,decoder,attn",
+    [
+        ("StandardTransformerUsingRegion", "Encoder", "Decoder",
+         "ScaledDotProductAttention"),
+        ("MeshedMemoryTransformer", "MultilevelEncoder", "MeshedDecoder",
+         "AugmentedMemoryScaledDotProductAttention"),
+    ],
+    ids=["standard", "m2"],
+)
+def test_beam_resident_matches_default(tiny_vocab, arch, encoder, decoder, attn):
+    """The no-gather beam-resident path (ancestry one-hot select inside the
+    attention, dedup cross K/V, fused hierarchical selection) must be
+    token-identical to the default path."""
+    cfg = model_config(
+        architecture=arch, encoder=encoder, decoder=decoder, enc_attention=attn
+    )
+    model = build_model(cfg, tiny_vocab)
+    for seed in range(3):
+        batch = make_batch(tiny_vocab, bs=3, seed=seed)
+        params = model.init(jax.random.PRNGKey(seed), batch)
+        feats = {"region_features": batch["region_features"]}
+        ref_o, ref_l = beam_search(model, params, feats, beam_size=5, out_size=5)
+        got_o, got_l = beam_search(
+            model, params, feats, beam_size=5, out_size=5, beam_resident=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+        np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l), atol=1e-5)
+
+
+def test_unrolled_decode_matches_default(tiny_vocab):
+    cfg = model_config()
+    model = build_model(cfg, tiny_vocab)
+    batch = make_batch(tiny_vocab, bs=3)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    feats = {"region_features": batch["region_features"]}
+    ref_o, ref_l = beam_search(model, params, feats, beam_size=5, out_size=5)
+    got_o, got_l = beam_search(
+        model, params, feats, beam_size=5, out_size=5,
+        beam_resident=True, unroll=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l), atol=1e-5)
+
+
+def test_resident_kernel_matches_beam_resident(tiny_vocab):
+    """The fused Pallas layer kernel (interpret mode on CPU) vs the XLA
+    beam-resident path.  The kernel rounds the q*k products through bf16
+    (resident_layer_step.py numerics note), so rare near-tie token flips
+    are possible at tiny scale — require high agreement + close scores,
+    and bound the per-step layer outputs instead of exact tokens."""
+    cfg = model_config()
+    model = build_model(cfg, tiny_vocab)
+    rows = total = 0
+    for seed in range(3):
+        batch = make_batch(tiny_vocab, bs=3, seed=seed)
+        params = model.init(jax.random.PRNGKey(seed), batch)
+        feats = {"region_features": batch["region_features"]}
+        ref_o, ref_l = beam_search(
+            model, params, feats, beam_size=5, out_size=5,
+            compute_dtype=jnp.bfloat16, beam_resident=True,
+        )
+        got_o, got_l = beam_search(
+            model, params, feats, beam_size=5, out_size=5,
+            compute_dtype=jnp.bfloat16, resident_kernel=True,
+        )
+        eq = (np.asarray(got_o) == np.asarray(ref_o)).all(-1)
+        rows += int(eq.sum())
+        total += eq.size
+        # scores of agreeing rows match tightly; disagreeing rows must be
+        # near-ties (the two paths found equally-scored beams)
+        mask = eq[..., None]
+        diff = np.abs(np.asarray(got_l) - np.asarray(ref_l)) * mask
+        assert diff.max() < 0.05
+        seq_got = np.asarray(got_l).sum(-1)
+        seq_ref = np.asarray(ref_l).sum(-1)
+        np.testing.assert_allclose(seq_got, seq_ref, atol=0.3)
+    assert rows / total > 0.5, f"row agreement {rows}/{total}"

@@ -94,11 +94,22 @@ def test_cider_length_penalty():
 
 
 def test_meteor_identical():
+    # default Meteor = 1.5 en-norm parameterisation: perfect match gives
+    # Fmean 1 and penalty gamma*(1/m)^beta = 0.6*(1/6)^0.2
     gts = {"0": ["the cat sat on the mat"]}
     res = {"0": ["the cat sat on the mat"]}
     score, scores = Meteor().compute_score(gts, res)
-    n = 6
-    expected = 1.0 * (1 - 0.5 * (1 / n) ** 3)
+    expected = 1.0 - 0.6 * (1 / 6) ** 0.2
+    assert scores[0] == pytest.approx(expected, abs=1e-9)
+
+
+def test_meteor_classic_identical():
+    from openviic_tpu.evaluation import MeteorClassic
+
+    gts = {"0": ["the cat sat on the mat"]}
+    res = {"0": ["the cat sat on the mat"]}
+    _, scores = MeteorClassic().compute_score(gts, res)
+    expected = 1.0 * (1 - 0.5 * (1 / 6) ** 3)
     assert scores[0] == pytest.approx(expected, abs=1e-9)
 
 
@@ -115,6 +126,61 @@ def test_meteor_stem_stage():
     _, scores = Meteor().compute_score(gts, res)
     # "cats"~"cat" and "running"~"run" match via stemming; "the" exact
     assert scores[0] > 0.2
+
+
+def test_meteor15_content_words_weigh_more():
+    """delta=0.75: matching a content word outweighs a function word."""
+    gts = {"0": ["the dog runs"]}
+    content = {"0": ["a dog walks"]}   # matches content word 'dog'
+    function = {"0": ["the cat walks"]}  # matches function word 'the'
+    _, s_content = Meteor().compute_score(gts, content)
+    _, s_function = Meteor().compute_score(gts, function)
+    assert s_content[0] > s_function[0]
+
+
+def test_meteor15_fragmentation_ordering():
+    """A contiguous match must beat the same words scattered."""
+    gts = {"0": ["a b c d e f"], "1": ["a b c d e f"]}
+    res = {"0": ["a b c x y z"], "1": ["a x b y c z"]}
+    _, scores = Meteor().compute_score(gts, res)
+    assert scores[0] > scores[1]
+
+
+def test_meteor15_paraphrase_table(tmp_path, monkeypatch):
+    """The paraphrase stage loads from OPENVIIC_METEOR_PARAPHRASE."""
+    import openviic_tpu.evaluation.meteor15 as m15
+
+    gts = {"0": ["the man rides a bike"]}
+    res = {"0": ["the man rides a bicycle"]}
+    _, before = Meteor().compute_score(gts, res)
+
+    table = tmp_path / "paraphrase.txt"
+    table.write_text("bicycle ||| bike\n")
+    monkeypatch.setenv("OPENVIIC_METEOR_PARAPHRASE", str(table))
+    m15._paraphrase_table.cache_clear()
+    try:
+        _, after = Meteor().compute_score(gts, res)
+    finally:
+        m15._paraphrase_table.cache_clear()
+    assert after[0] > before[0]
+
+
+def test_meteor15_synonym_stage(tmp_path, monkeypatch):
+    import openviic_tpu.evaluation.meteor15 as m15
+
+    gts = {"0": ["a large dog"]}
+    res = {"0": ["a big dog"]}
+    _, before = Meteor().compute_score(gts, res)
+
+    syn = tmp_path / "synsets.txt"
+    syn.write_text("big large huge\n")
+    monkeypatch.setenv("OPENVIIC_METEOR_SYNONYMS", str(syn))
+    m15._synonym_sets.cache_clear()
+    try:
+        _, after = Meteor().compute_score(gts, res)
+    finally:
+        m15._synonym_sets.cache_clear()
+    assert after[0] > before[0]
 
 
 def test_ptb_tokenizer():

@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from openviic_tpu import native
-from openviic_tpu.evaluation import Cider, Meteor
+from openviic_tpu.evaluation import Cider
+from openviic_tpu.evaluation.meteor import MeteorClassic
 from openviic_tpu.evaluation.ptb_tokenizer import PTBTokenizer
 
 pytestmark = pytest.mark.skipif(
@@ -47,7 +48,7 @@ def test_native_meteor_matches_python():
         "2": ["x y z"],
     }
     res = {"0": ["the cat sat on the mat"], "1": ["the cat is run"], "2": ["a b c"]}
-    py_score, py_scores = Meteor().compute_score(gts, res)
+    py_score, py_scores = MeteorClassic().compute_score(gts, res)
     nat_score, nat_scores = native.NativeMeteor().compute_score(gts, res)
     assert nat_score == pytest.approx(py_score, abs=1e-9)
     np.testing.assert_allclose(nat_scores, py_scores, atol=1e-9)

@@ -232,6 +232,84 @@ def test_greedy_parity(ref, arch, encoder, decoder, attn, aoa, feats):
     )
 
 
+# ------------------------------------------------------- training dynamics
+def test_training_dynamics_match_reference(ref):
+    """20 Adam+NLL steps from identical weights on identical batches give
+    the same loss curve as the actual reference model under torch
+    (trainers/base_trainer.py:89-91 optimizer/criterion semantics;
+    dropout off on both sides for determinism)."""
+    import optax
+
+    from openviic_tpu.training.steps import nll_loss
+
+    vocab = FakeVocab()
+    cfg = model_config()
+
+    def no_dropout(node):
+        if hasattr(node, "DROPOUT"):
+            node.DROPOUT = 0.0
+        for key in node.keys():
+            child = getattr(node, key, None)
+            if hasattr(child, "keys"):
+                no_dropout(child)
+
+    no_dropout(cfg)
+    torch.manual_seed(0)
+    ref_model = ref.META_ARCHITECTURE.get("StandardTransformerUsingRegion")(
+        cfg, vocab
+    )
+    ref_model.train()
+    model = build_model(cfg, vocab)
+    batch0 = make_batch(vocab, bs=4)
+    params = model.init(jax.random.PRNGKey(0), batch0)
+    params, _, _ = convert_torch_state_dict(ref_model.state_dict(), params)
+
+    lr, betas, eps = 1e-3, (0.9, 0.98), 1e-8
+    topt = torch.optim.Adam(ref_model.parameters(), lr=lr, betas=betas, eps=eps)
+    tcrit = torch.nn.NLLLoss(ignore_index=vocab.padding_idx)
+    optimizer = optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            out = model.apply(p, batch, train=False)
+            return nll_loss(out, batch["shifted"], vocab.padding_idx)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jax_losses, ref_losses = [], []
+    for it in range(20):
+        batch = make_batch(vocab, bs=4, seed=100 + it)
+        shifted = np.roll(np.asarray(batch["caption_tokens"]), -1, axis=1)
+        shifted[:, -1] = vocab.padding_idx
+        batch = dict(batch, shifted=jnp.asarray(shifted))
+
+        params, opt_state, loss = step(params, opt_state, batch)
+        jax_losses.append(float(loss))
+
+        tb = ref.Instance(
+            caption_tokens=torch.tensor(
+                np.asarray(batch["caption_tokens"]), dtype=torch.long
+            ),
+            region_features=torch.tensor(np.asarray(batch["region_features"])),
+        )
+        out = ref_model(tb)
+        tloss = tcrit(
+            out.reshape(-1, len(vocab)),
+            torch.tensor(shifted.reshape(-1), dtype=torch.long),
+        )
+        topt.zero_grad()
+        tloss.backward()
+        topt.step()
+        ref_losses.append(float(tloss))
+
+    np.testing.assert_allclose(jax_losses, ref_losses, rtol=2e-3, atol=2e-4)
+    assert jax_losses[-1] < jax_losses[0]  # actually learning
+
+
 # --------------------------------------------------------------- metrics
 def _random_corpus(n_images=25, seed=0):
     """gts/gen dicts over a tiny alphabet so n-gram overlap is plentiful."""

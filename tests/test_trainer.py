@@ -306,3 +306,53 @@ def test_scst_with_device_reward(tmp_path_factory, tiny_dataset_dir):
     loss = tr.train_scst()
     assert np.isfinite(loss)
     assert tr.device_reward is not None
+
+
+def test_device_reward_on_by_default_and_matches_host(
+    tmp_path_factory, tiny_dataset_dir
+):
+    """DEVICE_REWARD defaults on for viTrainer, and the device reward for
+    the trainer's own sampled captions equals the host CIDEr path (the
+    convergence-equivalence guard for flipping the default)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from openviic_tpu.builders import build_trainer
+    from openviic_tpu.training.trainer import _device_batch
+
+    tmp = tmp_path_factory.mktemp("trainer_devreward_default")
+    cfg = full_config(tmp, tiny_dataset_dir)  # no DEVICE_REWARD key at all
+    tr = build_trainer(cfg)
+    tr._ensure_scst(reset_opt=False)
+    assert tr.device_reward is not None  # default on
+
+    beam = tr.training_beam_size
+    items = next(iter(tr.train_dict_dataloader))
+    batch = _device_batch(items)
+    outs, _ = tr.beam_searcher(
+        tr.state["params"], batch, beam_size=beam, out_size=beam
+    )
+    bs = outs.shape[0]
+    sampled_dev = outs.reshape(bs * beam, -1)
+    sampled = np.asarray(sampled_dev)
+
+    refs = list(items["captions"])
+    n_ref_max = max(len(r) for r in refs)
+    r_max = max((len(c.split()) for r in refs for c in r), default=1)
+    ids, idf, tok_valid, ref_valid = tr.device_reward.encode_refs(
+        refs, n_ref_max, r_max
+    )
+    device = np.asarray(
+        tr._device_score(
+            sampled_dev, jnp.asarray(ids), jnp.asarray(idf),
+            jnp.asarray(tok_valid), jnp.asarray(ref_valid), beam_size=beam,
+        )
+    ).reshape(bs, beam)
+
+    caps_gen = tr.vocab.decode_caption(sampled, join_words=True)
+    caps_gt = list(itertools.chain(*([a] * beam for a in items["captions"])))
+    gens = {f"{i}": [c] for i, c in enumerate(caps_gen)}
+    gts = {f"{i}": c for i, c in enumerate(caps_gt)}
+    host = tr.train_cider.compute_score(gts, gens)[1].astype(np.float32)
+    np.testing.assert_allclose(device, host.reshape(bs, beam), atol=1e-4)
