@@ -12,6 +12,7 @@
 //
 // Build: native/build.sh  (g++ -O2 -shared -fPIC)
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -410,6 +411,135 @@ double* ov_meteor_score(const char* gens, const char* refs) {
     agg.rl += best_stats.rl; agg.ch += best_stats.ch;
   }
   out[0] = meteor_from(agg);
+  return out;
+}
+
+// ------------------------------------------- METEOR 1.5 (en-norm)
+// Mirrors openviic_tpu/evaluation/meteor15.py exactly (exact + stem
+// stages; the Python scorer handles the optional synonym/paraphrase data
+// files): beam-search aligner (most matched words, fewest chunks,
+// smallest total distance; beam 40), content/function-word weighting
+// (delta=0.75), module weights exact=1.0 stem=0.6, alpha=0.85 beta=0.2
+// gamma=0.6; corpus score from aggregated statistics.
+
+struct M15Match { int h, r, mod; };
+
+struct M15State {
+  uint64_t rmask0, rmask1;
+  std::vector<M15Match> ms;
+  int dist;
+};
+
+static int m15_chunks(const std::vector<M15Match>& ms) {
+  if (ms.empty()) return 0;  // appended in hyp order already
+  int ch = 1;
+  for (size_t i = 1; i < ms.size(); ++i)
+    if (ms[i].h != ms[i - 1].h + 1 || ms[i].r != ms[i - 1].r + 1) ++ch;
+  return ch;
+}
+
+static std::vector<M15Match> m15_align(const std::vector<std::string>& hyp,
+                                       const std::vector<std::string>& ref) {
+  const size_t H = hyp.size(), R = ref.size();
+  std::vector<std::string> hs(H), rs(R);
+  for (size_t i = 0; i < H; ++i) hs[i] = porter(hyp[i]);
+  for (size_t j = 0; j < R; ++j) rs[j] = porter(ref[j]);
+  // candidates per hyp index: one per (i, j) pair, best module wins
+  // (exact elif stem — matching meteor15.py _collect_matches)
+  std::vector<std::vector<M15Match>> by_start(H);
+  for (size_t i = 0; i < H; ++i)
+    for (size_t j = 0; j < R && j < 128; ++j) {
+      if (hyp[i] == ref[j]) by_start[i].push_back({(int)i, (int)j, 0});
+      else if (hs[i] == rs[j]) by_start[i].push_back({(int)i, (int)j, 1});
+    }
+
+  std::vector<M15State> states{{0, 0, {}, 0}};
+  std::vector<M15State> next;
+  for (size_t i = 0; i < H; ++i) {
+    next.clear();
+    for (const auto& st : states) {
+      next.push_back(st);  // skip position i
+      for (const auto& c : by_start[i]) {
+        uint64_t bit0 = c.r < 64 ? (1ULL << c.r) : 0;
+        uint64_t bit1 = c.r >= 64 ? (1ULL << (c.r - 64)) : 0;
+        if ((st.rmask0 & bit0) || (st.rmask1 & bit1)) continue;
+        M15State ns = st;
+        ns.rmask0 |= bit0;
+        ns.rmask1 |= bit1;
+        ns.ms.push_back(c);
+        ns.dist += c.h > c.r ? c.h - c.r : c.r - c.h;
+        next.push_back(std::move(ns));
+      }
+    }
+    std::stable_sort(next.begin(), next.end(),
+                     [](const M15State& a, const M15State& b) {
+                       if (a.ms.size() != b.ms.size())
+                         return a.ms.size() > b.ms.size();
+                       int ca = m15_chunks(a.ms), cb = m15_chunks(b.ms);
+                       if (ca != cb) return ca < cb;
+                       return a.dist < b.dist;
+                     });
+    if (next.size() > 40) next.resize(40);
+    states = next;
+  }
+  return states.empty() ? std::vector<M15Match>{} : states[0].ms;
+}
+
+struct M15Stats { double pn, pd, rn, rd, m, ch; };
+
+static double m15_score(const M15Stats& s) {
+  if (s.pd <= 0 || s.rd <= 0 || s.m <= 0) return 0.0;
+  double p = s.pn / s.pd, r = s.rn / s.rd;
+  if (p <= 0 || r <= 0) return 0.0;
+  double f = p * r / (0.85 * p + 0.15 * r);
+  double pen = 0.6 * std::pow(s.ch / s.m, 0.2);
+  return f * (1.0 - pen);
+}
+
+// Returns malloc'd double[n + 1]: [corpus, per_segment...].
+// function_words: space-separated list (passed from the Python side so
+// both implementations always share one list).
+double* ov_meteor15_score(const char* gens, const char* refs,
+                          const char* function_words) {
+  std::vector<std::string> gen_recs = split(gens, '\x1e');
+  std::vector<std::string> ref_recs = split(refs, '\x1e');
+  size_t n = gen_recs.size();
+  if (ref_recs.size() != n) return nullptr;
+  std::unordered_map<std::string, bool> func;
+  for (const auto& w : tokens_of(function_words)) func[w] = true;
+  const double DELTA = 0.75;
+  const double WMOD[2] = {1.0, 0.6};
+  auto wt = [&](const std::string& w) {
+    return func.count(w) ? 1.0 - DELTA : DELTA;
+  };
+
+  double* out = static_cast<double*>(malloc(sizeof(double) * (n + 1)));
+  M15Stats agg{0, 0, 0, 0, 0, 0};
+  for (size_t i = 0; i < n; ++i) {
+    std::vector<std::string> hyp = tokens_of(gen_recs[i]);
+    double best = -1.0;
+    M15Stats best_stats{0, 0, 0, 0, 0, 0};
+    for (const auto& r : split(ref_recs[i], '\x1f')) {
+      std::vector<std::string> ref = tokens_of(r);
+      std::vector<M15Match> ms = m15_align(hyp, ref);
+      M15Stats s{0, 0, 0, 0, 0, 0};
+      for (const auto& m : ms) {
+        s.pn += WMOD[m.mod] * wt(hyp[m.h]);
+        s.rn += WMOD[m.mod] * wt(ref[m.r]);
+      }
+      for (const auto& w : hyp) s.pd += wt(w);
+      for (const auto& w : ref) s.rd += wt(w);
+      s.m = (double)ms.size();
+      s.ch = (double)m15_chunks(ms);
+      double sc = m15_score(s);
+      if (sc > best) { best = sc; best_stats = s; }
+    }
+    out[i + 1] = best < 0 ? 0.0 : best;
+    agg.pn += best_stats.pn; agg.pd += best_stats.pd;
+    agg.rn += best_stats.rn; agg.rd += best_stats.rd;
+    agg.m += best_stats.m; agg.ch += best_stats.ch;
+  }
+  out[0] = m15_score(agg);
   return out;
 }
 

@@ -165,6 +165,15 @@ def _select_topk_hier(
 
     s1_words = jnp.stack([jt * tile + jw for jt, jw, _ in picked], axis=-1)
     s1_logit = jnp.stack([v for _, _, v in picked], axis=-1)  # raw logits
+    return _finish_select(
+        s1_logit, s1_words, offset, finished, seq_logprob, beam_size
+    )
+
+
+def _finish_select(s1_logit, s1_words, offset, finished, seq_logprob, beam_size):
+    """Finished-beam substitution + stage-2 top-k over per-beam stage-1
+    candidates (s1_logit/s1_words: (bs, beam, k) raw logits + word ids)."""
+    b_s, n_beams = s1_logit.shape[:2]
     s1_vals = s1_logit + offset[..., None]
 
     # finished beams: candidate 0 is word 0 at the frozen seq log-prob,
@@ -234,6 +243,7 @@ def beam_search(
     fast_select: Optional[bool] = None,
     resident_kernel: bool = False,
     unroll: bool = False,
+    head_kernel: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run batched beam search; returns (outputs, log_probs).
 
@@ -261,8 +271,8 @@ def beam_search(
             batch,
         )
 
-    if resident_kernel:
-        # the fused Pallas layer kernel implements the beam-resident math
+    if resident_kernel or head_kernel:
+        # the fused Pallas kernels implement the beam-resident math
         beam_resident = True
     if beam_resident:
         # beam-resident mode: the KV caches are never reordered (ancestry
@@ -349,7 +359,7 @@ def beam_search(
             memory_mask,
             ancestry,
             beam_size if beam_resident else None,
-            fast_select,
+            "hidden" if head_kernel else fast_select,
             resident_kernel,
             method=model.decode_step,
         )
@@ -359,7 +369,31 @@ def beam_search(
         not_eos = (prev_words != eos_idx).astype(seq_logprob.dtype)[..., None]
         seq_mask_t = jnp.where(t > 0, carry["seq_mask"] * not_eos, carry["seq_mask"])
 
-        if fast_select:
+        if head_kernel:
+            # fused vocab head + lse + per-row exact top-k in one kernel
+            # (ops/head_topk.py); the finished-beam substitution + stage-2
+            # top-k stay in XLA ((bs, beam)-sized math)
+            from openviic_tpu.ops.head_topk import head_topk
+
+            fc_kernel = params["params"]["decoder"]["fc"]["kernel"]
+            vals, idxs, lse_rows = head_topk(head, fc_kernel, k=beam_size)
+            s1_logit = vals.reshape(b_s, beam_size, beam_size)
+            s1_words = idxs.reshape(b_s, beam_size, beam_size)
+            lse = lse_rows.reshape(b_s, beam_size)
+            seq_lp = seq_logprob[..., 0]
+            finished = jnp.logical_and(t > 0, seq_mask_t[..., 0] == 0.0)
+            offset = seq_lp - lse
+            (
+                selected_logprob, selected_beam, selected_words, selected_logit,
+            ) = _finish_select(
+                s1_logit, s1_words, offset, finished, seq_lp, beam_size
+            )
+            lse_sel = _gather_beams_onehot(lse, selected_beam)
+            fin_sel = _gather_beams_onehot(finished, selected_beam)
+            this_word_logprob = jnp.where(
+                fin_sel, 0.0, selected_logit - lse_sel
+            )
+        elif fast_select:
             # One full-vocab pass total: the decoder returned raw logits +
             # per-row logsumexp; candidate = (seq_lp - lse) + logit folds
             # log-softmax into the per-row offset, the -999 finished-beam

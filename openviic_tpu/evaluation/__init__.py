@@ -24,8 +24,9 @@ def _metrics():
     Python implementations — tests/test_native.py); OPENVIIC_NATIVE=0
     disables."""
     # METEOR: the 1.5 en-norm parameterisation (meteor15.py) — matches the
-    # reference's jar invocation; the native C++ scorer implements the 2007
-    # classic parameters, so it no longer substitutes here
+    # reference's jar invocation.  The native C++ 1.5 scorer substitutes
+    # when built, unless synonym/paraphrase data files are configured
+    # (those stages exist only in the Python scorer).
     meteor, cider = Meteor(), Cider()
     if os.environ.get("OPENVIIC_NATIVE", "1") != "0":
         try:
@@ -33,6 +34,18 @@ def _metrics():
 
             if native.available():
                 cider = native.NativeCider()
+                has_data = any(
+                    os.environ.get(k)
+                    for k in (
+                        "OPENVIIC_METEOR_SYNONYMS",
+                        "OPENVIIC_METEOR_PARAPHRASE",
+                    )
+                )
+                if not has_data:
+                    try:
+                        meteor = native.NativeMeteor15()
+                    except Exception:
+                        pass
         except Exception:
             pass
     return (Bleu(), meteor, Rouge(), cider)

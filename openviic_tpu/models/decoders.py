@@ -467,8 +467,12 @@ class _DecoderBase(nn.Module):
             out = jnp.where(is_pad, 0.0, out)
             new_layers.append(lc)
 
-        logits = self.fc(out).astype(jnp.float32)[:, 0, :]
         new_cache = {"layers": new_layers, "pad": pad}
+        if raw_head == "hidden":
+            # pre-head hidden state — the caller fuses the vocab projection
+            # + lse + top-k in one kernel (ops/head_topk.py)
+            return out[:, 0, :], new_cache
+        logits = self.fc(out).astype(jnp.float32)[:, 0, :]
         if raw_head:
             lse = jax.scipy.special.logsumexp(logits, axis=-1)
             return (logits, lse), new_cache

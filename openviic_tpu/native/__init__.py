@@ -56,6 +56,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ov_cider_score.restype = ctypes.POINTER(ctypes.c_double)
     lib.ov_meteor_score.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.ov_meteor_score.restype = ctypes.POINTER(ctypes.c_double)
+    try:
+        lib.ov_meteor15_score.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        lib.ov_meteor15_score.restype = ctypes.POINTER(ctypes.c_double)
+    except AttributeError:  # stale pre-round-2 library
+        pass
     lib.ov_ptb_tokenize.argtypes = [ctypes.c_char_p]
     lib.ov_ptb_tokenize.restype = ctypes.c_void_p  # manual free
     _lib = lib
@@ -118,6 +125,8 @@ class NativeCider:
 
 
 class NativeMeteor:
+    """Classic (2007-parameter) scorer — mirrors evaluation.MeteorClassic."""
+
     def compute_score(self, gts: Dict, res: Dict):
         lib = _load()
         if lib is None:
@@ -126,6 +135,29 @@ class NativeMeteor:
         ptr = lib.ov_meteor_score(gens_b, refs_b)
         if not ptr:
             raise RuntimeError("native meteor failed")
+        return _read_scores(ptr, len(keys))
+
+    def __str__(self) -> str:
+        return "METEOR"
+
+
+class NativeMeteor15:
+    """METEOR 1.5 en-norm parameterisation — mirrors evaluation.Meteor
+    (meteor15.py) for the exact+stem stages.  The Python scorer's optional
+    synonym/paraphrase data stages are not implemented here; callers use
+    the Python path when those data files are configured."""
+
+    def compute_score(self, gts: Dict, res: Dict):
+        lib = _load()
+        if lib is None or not hasattr(lib, "ov_meteor15_score"):
+            raise RuntimeError("native library unavailable")
+        from openviic_tpu.evaluation.meteor15 import _function_words
+
+        gens_b, refs_b, keys = _encode_pairs(gts, res)
+        fwords = " ".join(sorted(_function_words())).encode()
+        ptr = lib.ov_meteor15_score(gens_b, refs_b, fwords)
+        if not ptr:
+            raise RuntimeError("native meteor15 failed")
         return _read_scores(ptr, len(keys))
 
     def __str__(self) -> str:

@@ -211,3 +211,27 @@ def test_resident_kernel_matches_beam_resident(tiny_vocab):
         seq_ref = np.asarray(ref_l).sum(-1)
         np.testing.assert_allclose(seq_got, seq_ref, atol=0.3)
     assert rows / total > 0.5, f"row agreement {rows}/{total}"
+
+
+def test_head_kernel_matches_fast_select(tiny_vocab):
+    """ops/head_topk.py (fused vocab head + lse + top-k): token-exact vs
+    the XLA fast-select path in interpret mode (the kernel rounds logits
+    through bf16 exactly like the XLA fc materialisation)."""
+    cfg = model_config()
+    model = build_model(cfg, tiny_vocab)
+    for seed in range(3):
+        batch = make_batch(tiny_vocab, bs=3, seed=seed)
+        params = model.init(jax.random.PRNGKey(seed), batch)
+        feats = {"region_features": batch["region_features"]}
+        ref_o, ref_l = beam_search(
+            model, params, feats, beam_size=5, out_size=5,
+            compute_dtype=jnp.bfloat16, beam_resident=True,
+        )
+        got_o, got_l = beam_search(
+            model, params, feats, beam_size=5, out_size=5,
+            compute_dtype=jnp.bfloat16, head_kernel=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+        np.testing.assert_allclose(
+            np.asarray(got_l), np.asarray(ref_l), atol=1e-5
+        )

@@ -88,3 +88,27 @@ def test_native_cider_speed():
     t_nat = time.perf_counter() - t0
     assert nat_score == pytest.approx(py_score, abs=1e-9)
     assert t_nat < t_py, f"native {t_nat:.4f}s not faster than python {t_py:.4f}s"
+
+
+def test_native_meteor15_matches_python():
+    """C++ METEOR 1.5 must equal the Python meteor15 scorer exactly on the
+    exact+stem configuration (no synonym/paraphrase data)."""
+    from openviic_tpu import native
+    from openviic_tpu.evaluation.meteor15 import Meteor15
+
+    if not native.available():
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(5)
+    words = ["the", "cats", "are", "running", "dog", "walks", "a", "on",
+             "mat", "red", "big", "street"]
+    gts, res = {}, {}
+    for i in range(30):
+        def sent():
+            n = int(rng.integers(3, 10))
+            return " ".join(rng.choice(words, size=n))
+        gts[str(i)] = [sent() for _ in range(int(rng.integers(1, 4)))]
+        res[str(i)] = [sent()]
+    py_score, py_scores = Meteor15().compute_score(gts, res)
+    nat_score, nat_scores = native.NativeMeteor15().compute_score(gts, res)
+    np.testing.assert_almost_equal(nat_score, py_score, decimal=10)
+    np.testing.assert_almost_equal(nat_scores, py_scores, decimal=10)
