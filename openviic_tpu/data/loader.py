@@ -14,13 +14,39 @@ trainers/base_trainer.py:40-80) with a numpy pipeline designed for XLA:
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
-from typing import Dict, Iterator, Optional
+from typing import Callable, Dict, Iterable, Iterator, Optional
 
 import numpy as np
 
 from openviic_tpu.data.instance import InstanceList
+
+
+def device_prefetch(
+    iterable: Iterable, convert: Callable, depth: int = 2
+) -> Iterator:
+    """Keep ``depth`` converted (device-resident) items ahead of the consumer.
+
+    ``jax.device_put`` is asynchronous, so converting upcoming host batches
+    early overlaps their H2D transfer with the device compute on the
+    current batch (double buffering for ``depth=2``).  ``convert`` maps a
+    host item to device arrays (e.g. the trainer's ``_device_batch``)."""
+    buf: "collections.deque" = collections.deque()
+    it = iter(iterable)
+    try:
+        for _ in range(max(depth, 1)):
+            buf.append(convert(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(convert(next(it)))
+        except StopIteration:
+            pass
+        yield out
 
 
 def _round_up(n: int, multiple: int) -> int:

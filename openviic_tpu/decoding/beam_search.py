@@ -209,6 +209,24 @@ def _finish_select(s1_logit, s1_words, offset, finished, seq_logprob, beam_size)
     return sel_v, selected_beam, selected_words, selected_logit
 
 
+def _supports_beam_resident(model) -> bool:
+    """Beam-resident decode needs the plain SDPA attention kernels (which
+    carry ``attend_projected_beam_select`` / ``attend_cached_grouped``) in
+    every decoder layer; other kernels (adaptive language-signal, etc.)
+    fall back to the default path."""
+    try:
+        dec = model.config.DECODER
+        if dec.ARCHITECTURE not in ("Decoder", "MeshedDecoder"):
+            return False
+        att = dec.ATTENTION
+        return (
+            att.SELF_ATTENTION.ARCHITECTURE == "ScaledDotProductAttention"
+            and att.ENC_ATTENTION.ARCHITECTURE == "ScaledDotProductAttention"
+        )
+    except Exception:
+        return False
+
+
 def _split_cache(cache):
     """Separate the per-step-mutable part (self KV + pad) from the static
     cross-attention KV, so the scan carry (gathered every step) stays small."""
@@ -274,6 +292,11 @@ def beam_search(
     if resident_kernel or head_kernel:
         # the fused Pallas kernels implement the beam-resident math
         beam_resident = True
+    if beam_resident and not _supports_beam_resident(model):
+        # decoders whose attention kernels lack the beam-select methods
+        # (adaptive language-signal attention, etc.) use the default path
+        beam_resident = resident_kernel = head_kernel = False
+        fast_select = False if fast_select is None else fast_select
     if beam_resident:
         # beam-resident mode: the KV caches are never reordered (ancestry
         # one-hot selection inside the attention) and the cross-attention
@@ -540,9 +563,12 @@ def beam_search(
 class BeamSearcher:
     """Caches jit-compiled beam search callables per (beam, out_size)."""
 
-    def __init__(self, model, compute_dtype=None):
+    def __init__(self, model, compute_dtype=None, beam_resident=True):
         self.model = model
         self.compute_dtype = compute_dtype
+        # beam-resident decode is token-identical to the default path and
+        # ~2x faster (PERF.md round 2) — on by default for trainer decode
+        self.beam_resident = beam_resident
         self._compiled: Dict[Tuple[int, int], Any] = {}
 
     def __call__(self, params, batch, beam_size: int, out_size: int = 1):
@@ -555,6 +581,7 @@ class BeamSearcher:
                     beam_size=beam_size,
                     out_size=out_size,
                     compute_dtype=self.compute_dtype,
+                    beam_resident=self.beam_resident,
                 )
             )
         return self._compiled[key](params, batch=batch)

@@ -244,12 +244,19 @@ class BaseTrainer:
         n = 0
         t0 = time.time()
         timer = StepTimer()
-        for items in self.train_dataloader:
-            batch = _device_batch(items, self.mesh)
+        # device prefetch: device_put the next batches while the current
+        # step computes (H2D transfer overlaps device compute)
+        from openviic_tpu.data.loader import device_prefetch
+
+        batches = device_prefetch(
+            self.train_dataloader,
+            lambda items: (items.batch_size, _device_batch(items, self.mesh)),
+        )
+        for bs_items, batch in batches:
             self.state, loss = self.xe_step(self.state, batch)
             running_loss += float(loss)
             n += 1
-            timer.update(items.batch_size)
+            timer.update(bs_items)
             step = int(self.state["step"])
             if self.profiler is not None:
                 self.profiler.step(step)
@@ -381,10 +388,11 @@ class BaseTrainer:
 
     # -- evaluation ------------------------------------------------------
     def evaluate_loss(self, dataloader: DataLoader) -> float:
+        from openviic_tpu.data.loader import device_prefetch
+
         running_loss = 0.0
         n = 0
-        for items in dataloader:
-            batch = _device_batch(items)
+        for batch in device_prefetch(dataloader, _device_batch):
             loss = self.eval_step(self.state["params"], batch)
             running_loss += float(loss)
             n += 1

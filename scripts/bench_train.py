@@ -72,7 +72,7 @@ def main() -> None:
     sample = jax.jit(
         functools.partial(
             beam_search, model, beam_size=BEAM, out_size=BEAM,
-            compute_dtype=jnp.bfloat16,
+            compute_dtype=jnp.bfloat16, beam_resident=True,
         )
     )
 
@@ -116,7 +116,41 @@ def main() -> None:
     for _ in range(iters):
         scst_iter()
     dt = (time.perf_counter() - t0) / iters
-    print(f"SCST iter: {dt*1000:.1f} ms  ({SCST_IMAGES/dt:.0f} images/s)")
+    print(f"SCST iter (batch {SCST_IMAGES}): {dt*1000:.1f} ms  ({SCST_IMAGES/dt:.0f} images/s)")
+
+    # bigger SCST batch (PERF.md scaling note: decode latency is nearly
+    # batch-independent below ~64 images)
+    big = 60
+    scst_batch = _make_batch(vocab, bs=big, n_regions=50, d_feature=DF)
+    scst_batch = {"region_features": scst_batch["region_features"]}
+    globals_ = None  # keep names local
+
+    def scst_iter_big():
+        outs, _ = sample(rl_state["params"], batch=scst_batch)
+        sampled = np.asarray(outs).reshape(big * BEAM, -1)
+        caps = []
+        for row in sampled:
+            toks = []
+            for idx in row:
+                if idx == vocab.eos_idx:
+                    break
+                if idx > 3:
+                    toks.append(vocab.itos[idx])
+            caps.append(" ".join(toks))
+        gens = {str(i): [c] for i, c in enumerate(caps)}
+        gts = {str(i): [" ".join(rng.choice(words, 10))] for i in range(len(caps))}
+        reward = cider.compute_score(gts, gens)[1].astype(np.float32)
+        reward = jnp.asarray(reward.reshape(big, BEAM))
+        new_state, loss = scst_step(rl_state, scst_batch, jnp.asarray(sampled), reward)
+        return float(loss)
+
+    scst_iter_big()
+    scst_iter_big()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        scst_iter_big()
+    dt = (time.perf_counter() - t0) / iters
+    print(f"SCST iter (batch {big}): {dt*1000:.1f} ms  ({big/dt:.0f} images/s)")
 
 
 if __name__ == "__main__":

@@ -76,3 +76,37 @@ def test_pad_overflow_raises():
     samples = [Instance(feats=np.zeros((9, 2), np.float32))]
     with pytest.raises(ValueError, match="pad size"):
         InstanceList(samples, pad_sizes={"feats": 4})
+
+
+def test_device_prefetch_preserves_order_and_count():
+    from openviic_tpu.data.loader import device_prefetch
+
+    calls = []
+
+    def convert(x):
+        calls.append(x)
+        return x * 10
+
+    out = list(device_prefetch(range(7), convert, depth=3))
+    assert out == [0, 10, 20, 30, 40, 50, 60]
+    assert calls == list(range(7))
+    # depth larger than the iterable, and empty iterables
+    assert list(device_prefetch([1, 2], lambda x: x, depth=10)) == [1, 2]
+    assert list(device_prefetch([], lambda x: x)) == []
+
+
+def test_device_prefetch_stays_ahead():
+    from openviic_tpu.data.loader import device_prefetch
+
+    converted = []
+    consumed = []
+
+    def convert(x):
+        converted.append(x)
+        return x
+
+    gen = device_prefetch(range(5), convert, depth=2)
+    first = next(gen)
+    consumed.append(first)
+    # after yielding item 0 the prefetcher has converted up to item 2
+    assert converted == [0, 1, 2]
