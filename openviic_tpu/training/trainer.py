@@ -401,9 +401,18 @@ class BaseTrainer:
         return val_loss
 
     def _decode_loader(self, dataloader: DataLoader, beam_size: int):
-        """Yields (it, items, list_of_caption_word_lists)."""
+        """Yields (it, items, list_of_caption_word_lists).
+
+        On a mesh the eval batch is data-parallel-sharded, so the beam
+        decode runs across all chips (tested single-device-equal in
+        tests/test_tensor_parallel.py::test_sharded_decode...)."""
         for it, items in enumerate(dataloader):
-            batch = _device_batch(items)
+            # the trailing partial batch may not divide the data axis —
+            # decode it unsharded
+            mesh = self.mesh
+            if mesh is not None and items.batch_size % mesh.shape["data"] != 0:
+                mesh = None
+            batch = _device_batch(items, mesh)
             outs, _ = self.beam_searcher(
                 self.state["params"], batch, beam_size=beam_size, out_size=1
             )
