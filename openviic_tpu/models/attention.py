@@ -272,11 +272,25 @@ class AugmentedGeometryScaledDotProductAttention(nn.Module, _ProjectionMixin):
         self.setup_projections(self.d_model, self.h, self.d_k, self.d_v)
 
     def __call__(
-        self, queries, keys, values, relative_geometry_weights, attention_mask=None,
-        **kwargs,
+        self, queries, keys, values, relative_geometry_weights=None,
+        attention_mask=None, geometry_fused=None, **kwargs,
     ):
         q = self.project_q(queries)
         k, v = self.project_kv(keys)
+        if geometry_fused is not None:
+            # bias computed in-kernel from the raw boxes
+            # (ops/geo_attention.py) — never materialises (bs, h, n, n)
+            from openviic_tpu.ops.geo_attention import geo_fused_attention
+
+            out = geo_fused_attention(
+                q, k, v,
+                geometry_fused["boxes"],
+                geometry_fused["kernel"],
+                geometry_fused["bias"],
+                attention_mask,
+                sm_scale=1.0 / (self.d_k**0.5),
+            ).astype(queries.dtype)
+            return self.output(out)
         bias = jnp.log(jnp.clip(relative_geometry_weights, min=1e-6))
         out = _attend(q, k, v, self.d_k, attention_mask, bias=bias)
         return self.output(out)

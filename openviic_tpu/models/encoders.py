@@ -152,7 +152,19 @@ class GeometricEncoder(nn.Module):
         return jax.nn.relu(w)
 
     def __call__(self, features, boxes, padding_mask, train: bool = False):
-        relative_geometry_weights = self.geometry_weights(boxes)
+        from openviic_tpu.ops.geo_attention import geo_fused_enabled
+
+        geo_kwargs = {}
+        if geo_fused_enabled() and self.trignometric_embedding and self.d_g % 8 == 0:
+            # long-context path: the (bs, h, n, n) geometric bias is never
+            # materialised — the attention kernel recomputes it from the
+            # boxes in VMEM tiles (PERF.md long-context section)
+            p = self.fc_gs.variables["params"]
+            geo_kwargs["geometry_fused"] = {
+                "boxes": boxes, "kernel": p["kernel"], "bias": p["bias"],
+            }
+        else:
+            geo_kwargs["relative_geometry_weights"] = self.geometry_weights(boxes)
         out = (
             self.layer_norm(features)
             + sinusoid_positional_embedding(features, self.d_model)
@@ -160,8 +172,8 @@ class GeometricEncoder(nn.Module):
         for layer in self.layers:
             out = layer(
                 queries=out, keys=out, values=out,
-                relative_geometry_weights=relative_geometry_weights,
                 padding_mask=padding_mask, attention_mask=padding_mask, train=train,
+                **geo_kwargs,
             )
         return out
 
