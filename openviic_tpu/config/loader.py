@@ -23,6 +23,9 @@ _DEFAULTS = {
     ("TRAINING", "EVALUATING_BEAM_SIZE"): 3,
     ("TRAINING", "PATIENCE"): 5,
     ("DATASET", "WORKERS"): 0,
+    # "native" (data/loader.py thread pipeline) or "grain"
+    # (data/grain_loader.py — host-sharded Grain pipeline for multi-host)
+    ("DATASET", "LOADER"): "native",
 }
 
 

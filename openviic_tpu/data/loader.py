@@ -53,6 +53,31 @@ def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def make_instance_batch(
+    samples, pad_sizes: Optional[Dict[str, int]] = None, bucket: int = 8
+) -> InstanceList:
+    """Collate samples into an ``InstanceList`` with bucketed fixed shapes.
+
+    Variable-row array keys not explicitly sized are padded to a multiple of
+    ``bucket`` so XLA sees at most a handful of distinct shapes per key.
+    Shared by the native ``DataLoader`` and the Grain pipeline
+    (grain_loader.py)."""
+    samples = list(samples)
+    pad_sizes = dict(pad_sizes) if pad_sizes else {}
+    for key, v0 in samples[0].items():
+        if key in pad_sizes or not isinstance(v0, np.ndarray) or v0.ndim < 1:
+            continue
+        lens = {s[key].shape[0] for s in samples}
+        if v0.ndim >= 2 or len(lens) > 1:
+            # Feature-like keys (region/grid rows) are bucket-padded so the
+            # number of distinct compiled shapes stays small even when row
+            # counts vary across batches.  1-D token vectors are already
+            # globally fixed-length (vocab.encode_caption) and stay at
+            # their natural length.
+            pad_sizes[key] = _round_up(max(lens), bucket)
+    return InstanceList(samples, pad_sizes=pad_sizes)
+
+
 class DataLoader:
     def __init__(
         self,
@@ -90,21 +115,7 @@ class DataLoader:
 
     def _make_batch(self, indices: np.ndarray) -> InstanceList:
         samples = [self.dataset[int(i)] for i in indices]
-        pad_sizes = dict(self.pad_sizes) if self.pad_sizes else {}
-        # Bucket-pad any variable-row array key not explicitly sized, so XLA
-        # sees at most a handful of shapes per key.
-        for key, v0 in samples[0].items():
-            if key in pad_sizes or not isinstance(v0, np.ndarray) or v0.ndim < 1:
-                continue
-            lens = {s[key].shape[0] for s in samples}
-            if v0.ndim >= 2 or len(lens) > 1:
-                # Feature-like keys (region/grid rows) are bucket-padded so
-                # the number of distinct compiled shapes stays small even
-                # when row counts vary across batches.  1-D token vectors
-                # are already globally fixed-length (vocab.encode_caption)
-                # and stay at their natural length.
-                pad_sizes[key] = _round_up(max(lens), self.bucket)
-        return InstanceList(samples, pad_sizes=pad_sizes)
+        return make_instance_batch(samples, self.pad_sizes, self.bucket)
 
     def __iter__(self) -> Iterator[InstanceList]:
         order = self._order()

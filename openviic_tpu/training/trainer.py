@@ -122,28 +122,39 @@ class BaseTrainer:
             )
             logger.info("Data-parallel over %d devices", data_axis)
 
-        self.train_dataloader = DataLoader(
+        # Loader backend: the native thread pipeline, or the host-sharded
+        # Grain pipeline (DATASET.LOADER: grain — data/grain_loader.py).
+        # Same collation (make_instance_batch) either way, so XLA sees
+        # identical shapes.
+        if str(ds.get("LOADER", "native")).lower() == "grain":
+            from openviic_tpu.data.grain_loader import GrainDataLoader
+
+            loader_cls = GrainDataLoader
+        else:
+            loader_cls = DataLoader
+
+        self.train_dataloader = loader_cls(
             self.train_dataset, ds.FEATURE_BATCH_SIZE, shuffle=True, seed=13,
             drop_last=self.mesh is not None,
         )
-        self.val_dataloader = DataLoader(
+        self.val_dataloader = loader_cls(
             self.dev_dataset, ds.FEATURE_BATCH_SIZE, shuffle=False
         )
-        self.test_dataloader = DataLoader(
+        self.test_dataloader = loader_cls(
             self.test_dataset, ds.FEATURE_BATCH_SIZE, shuffle=False
         )
-        self.train_dict_dataloader = DataLoader(
+        self.train_dict_dataloader = loader_cls(
             self.train_dict_dataset,
             max(1, ds.DICT_BATCH_SIZE // self.training_beam_size),
             shuffle=True,
             seed=17,
         )
-        self.val_dict_dataloader = DataLoader(
+        self.val_dict_dataloader = loader_cls(
             self.dev_dict_dataset,
             max(1, ds.DICT_BATCH_SIZE // self.evaluating_beam_size),
             shuffle=False,
         )
-        self.test_dict_dataloader = DataLoader(
+        self.test_dict_dataloader = loader_cls(
             self.test_dict_dataset, 1, shuffle=False
         )
 

@@ -1,0 +1,111 @@
+"""Grain-backed pipeline (data/grain_loader.py): determinism, sharding,
+collation equivalence with the native loader, and trainer integration."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_dataset_config
+
+
+def _feature_dataset(tiny_dataset_dir, tiny_vocab):
+    from openviic_tpu.data.datasets import FeatureDataset
+
+    cfg = make_dataset_config(tiny_dataset_dir)
+    return FeatureDataset(str(tiny_dataset_dir / "train.json"), tiny_vocab, cfg)
+
+
+def _token_batches(loader):
+    return [np.asarray(b.arrays()["caption_tokens"]) for b in loader]
+
+
+def test_deterministic_and_epoch_dependent_shuffle(tiny_dataset_dir, tiny_vocab):
+    from openviic_tpu.data.grain_loader import GrainDataLoader
+
+    ds = _feature_dataset(tiny_dataset_dir, tiny_vocab)
+    a = GrainDataLoader(ds, batch_size=3, shuffle=True, seed=5)
+    b = GrainDataLoader(ds, batch_size=3, shuffle=True, seed=5)
+    batches_a, batches_b = _token_batches(a), _token_batches(b)
+    assert len(batches_a) == len(batches_b) == len(a)
+    for x, y in zip(batches_a, batches_b):
+        np.testing.assert_array_equal(x, y)
+
+    # second epoch shuffles differently but deterministically
+    batches_a2, batches_b2 = _token_batches(a), _token_batches(b)
+    assert any(
+        x.shape != y.shape or not np.array_equal(x, y)
+        for x, y in zip(batches_a, batches_a2)
+    )
+    for x, y in zip(batches_a2, batches_b2):
+        np.testing.assert_array_equal(x, y)
+
+    # realigning .epoch reproduces the stream (the trainer's resume path)
+    a.epoch = 0
+    for x, y in zip(batches_a, _token_batches(a)):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_sharding_partitions_epoch(tiny_dataset_dir, tiny_vocab):
+    from openviic_tpu.data.grain_loader import GrainDataLoader
+
+    ds = _feature_dataset(tiny_dataset_dir, tiny_vocab)
+    n = len(ds)
+    shards = [
+        GrainDataLoader(
+            ds, batch_size=2, shuffle=True, seed=3,
+            shard_index=i, shard_count=2,
+        )
+        for i in range(2)
+    ]
+    seen = []
+    for ld in shards:
+        for batch in ld:
+            seen.extend(np.asarray(batch.arrays()["caption_tokens"]).tolist())
+    # together the shards cover the whole epoch exactly once
+    assert len(seen) == n
+    full = GrainDataLoader(ds, batch_size=n, shuffle=True, seed=3)
+    all_tokens = np.asarray(next(iter(full)).arrays()["caption_tokens"]).tolist()
+    assert sorted(map(tuple, seen)) == sorted(map(tuple, all_tokens))
+
+
+def test_collation_matches_native_loader(tiny_dataset_dir, tiny_vocab):
+    from openviic_tpu.data.grain_loader import GrainDataLoader
+    from openviic_tpu.data.loader import DataLoader
+
+    ds = _feature_dataset(tiny_dataset_dir, tiny_vocab)
+    native = next(iter(DataLoader(ds, batch_size=4, shuffle=False)))
+    grain = next(iter(GrainDataLoader(ds, batch_size=4, shuffle=False)))
+    na, ga = native.arrays(), grain.arrays()
+    assert set(na) == set(ga)
+    for key in na:
+        np.testing.assert_array_equal(np.asarray(na[key]), np.asarray(ga[key]))
+
+
+def test_drop_last_and_len(tiny_dataset_dir, tiny_vocab):
+    from openviic_tpu.data.grain_loader import GrainDataLoader
+
+    ds = _feature_dataset(tiny_dataset_dir, tiny_vocab)
+    n = len(ds)
+    ld = GrainDataLoader(ds, batch_size=3, drop_last=True)
+    batches = list(ld)
+    assert len(batches) == len(ld) == n // 3
+    assert all(b.batch_size == 3 for b in batches)
+
+    with pytest.raises(ValueError):
+        GrainDataLoader(ds, batch_size=3, shard_index=2, shard_count=2)
+
+
+def test_trainer_runs_with_grain_loader(tmp_path_factory, tiny_dataset_dir):
+    from tests.test_trainer import full_config
+
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("grain_trainer")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    cfg.DATASET._data["LOADER"] = "grain"
+    trainer = build_trainer(cfg)
+    from openviic_tpu.data.grain_loader import GrainDataLoader
+
+    assert isinstance(trainer.train_dataloader, GrainDataLoader)
+    trainer.train()
+    loss = trainer.evaluate_loss(trainer.val_dataloader)
+    assert np.isfinite(loss)
