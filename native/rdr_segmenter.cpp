@@ -27,6 +27,25 @@
 #include <unordered_set>
 #include <vector>
 
+// Additionally supports VnCoreNLP's *original* model serialization: the
+// SCRDR (Single-Classification Ripple-Down-Rules) tree text format of
+// RDRsegmenter (Nguyen et al. 2018), the engine inside VnCoreNLP's
+// wordsegmenter.rdr.  Lines are depth-first with tab indentation:
+//
+//   True : object.conclusion = "B"
+//   \t object.tag == "I" and object.word == "xyz" : object.conclusion = "B"
+//   \t\t object.prevWord1 == "abc" : object.conclusion = "I"
+//
+// A line one level deeper than its predecessor is that node's *except*
+// child; a line at the same depth is the *else* sibling of the previous
+// node at that depth.  Evaluation walks except-on-match / else-on-miss and
+// the deepest satisfied node's conclusion (a B/I tag) wins.  Syllables are
+// first tagged B/I by lexicon longest-matching, then corrected per
+// position by the tree over a context of
+// {word, prevWord1/2, nextWord1/2, tag, prevTag1/2, nextTag1/2}.
+
+#include <map>
+
 namespace {
 
 struct Rule {
@@ -34,9 +53,17 @@ struct Rule {
   std::string prev, a, b;  // SPLIT uses only `a`
 };
 
+struct ScrdrNode {
+  std::vector<std::pair<std::string, std::string>> cond;  // attr == value, all
+  std::string conclusion;                                 // "B" or "I"
+  int except_child = -1;
+  int else_child = -1;
+};
+
 struct Segmenter {
   std::unordered_set<std::string> lexicon;  // "syl1 syl2[ syl3[ syl4]]"
   std::vector<Rule> rules;
+  std::vector<ScrdrNode> tree;  // tree[0] is the root when non-empty
   int max_word_syllables = 4;
 };
 
@@ -60,6 +87,107 @@ std::string join(const std::vector<std::string>& parts, size_t i, size_t n,
 
 bool match(const std::string& pattern, const std::string& value) {
   return pattern == "*" || pattern == value;
+}
+
+std::string trim(const std::string& s) {
+  size_t a = s.find_first_not_of(" \t\r\n");
+  if (a == std::string::npos) return "";
+  size_t b = s.find_last_not_of(" \t\r\n");
+  return s.substr(a, b - a + 1);
+}
+
+// parse `object.attr == "value"` conjunctions; returns false on `True`
+bool parse_condition(const std::string& text, ScrdrNode* node) {
+  std::string t = trim(text);
+  if (t == "True") return true;
+  size_t pos = 0;
+  while (pos < t.size()) {
+    size_t dot = t.find("object.", pos);
+    if (dot == std::string::npos) break;
+    size_t eq = t.find("==", dot);
+    if (eq == std::string::npos) return false;
+    std::string attr = trim(t.substr(dot + 7, eq - dot - 7));
+    size_t q1 = t.find('"', eq);
+    if (q1 == std::string::npos) return false;
+    size_t q2 = t.find('"', q1 + 1);
+    if (q2 == std::string::npos) return false;
+    node->cond.emplace_back(attr, t.substr(q1 + 1, q2 - q1 - 1));
+    pos = q2 + 1;
+  }
+  return !node->cond.empty();
+}
+
+// SCRDR walk: except-on-match / else-on-miss; deepest satisfied wins
+const ScrdrNode* find_fired(const Segmenter& seg,
+                            const std::map<std::string, std::string>& ctx) {
+  if (seg.tree.empty()) return nullptr;
+  const ScrdrNode* fired = &seg.tree[0];
+  int cur = seg.tree[0].except_child;
+  while (cur >= 0) {
+    const ScrdrNode& node = seg.tree[cur];
+    bool ok = true;
+    for (const auto& c : node.cond) {
+      auto it = ctx.find(c.first);
+      if (it == ctx.end() || it->second != c.second) { ok = false; break; }
+    }
+    if (ok) {
+      fired = &node;
+      cur = node.except_child;
+    } else {
+      cur = node.else_child;
+    }
+  }
+  return fired;
+}
+
+// longest-match B/I tagging + SCRDR corrections -> '_'-joined words
+std::vector<std::string> scrdr_segment(const Segmenter& seg,
+                                       const std::vector<std::string>& syls) {
+  // 1. initial tags from lexicon longest matching (B = word begin)
+  std::vector<char> tags(syls.size(), 'B');
+  size_t i = 0;
+  while (i < syls.size()) {
+    size_t best = 1;
+    size_t maxn = std::min((size_t)seg.max_word_syllables, syls.size() - i);
+    for (size_t n = maxn; n >= 2; --n) {
+      if (seg.lexicon.count(join(syls, i, n, ' '))) { best = n; break; }
+    }
+    for (size_t k = 1; k < best; ++k) tags[i + k] = 'I';
+    i += best;
+  }
+
+  // 2. per-position SCRDR corrections over the *initial* tags
+  std::vector<char> fixed(tags);
+  auto word_at = [&](long k) -> std::string {
+    return (k < 0 || k >= (long)syls.size()) ? "" : syls[k];
+  };
+  auto tag_at = [&](long k) -> std::string {
+    return (k < 0 || k >= (long)tags.size()) ? "" : std::string(1, tags[k]);
+  };
+  for (long k = 0; k < (long)syls.size(); ++k) {
+    std::map<std::string, std::string> ctx = {
+        {"word", word_at(k)},
+        {"prevWord1", word_at(k - 1)}, {"prevWord2", word_at(k - 2)},
+        {"nextWord1", word_at(k + 1)}, {"nextWord2", word_at(k + 2)},
+        {"tag", tag_at(k)},
+        {"prevTag1", tag_at(k - 1)}, {"prevTag2", tag_at(k - 2)},
+        {"nextTag1", tag_at(k + 1)}, {"nextTag2", tag_at(k + 2)},
+    };
+    const ScrdrNode* fired = find_fired(seg, ctx);
+    if (fired && (fired->conclusion == "B" || fired->conclusion == "I"))
+      fixed[k] = fired->conclusion[0];
+  }
+  fixed[0] = 'B';  // a sentence cannot start inside a word
+
+  // 3. rebuild words: I-tagged syllables join their predecessor
+  std::vector<std::string> words;
+  for (size_t k = 0; k < syls.size(); ++k) {
+    if (fixed[k] == 'I' && !words.empty())
+      words.back() += "_" + syls[k];
+    else
+      words.push_back(syls[k]);
+  }
+  return words;
 }
 
 }  // namespace
@@ -115,12 +243,54 @@ int rdr_load_rules(void* h, const char* path) {
   return n;
 }
 
+// VnCoreNLP / RDRsegmenter SCRDR tree file; returns node count or -1
+int rdr_load_scrdr(void* h, const char* path) {
+  auto* seg = static_cast<Segmenter*>(h);
+  std::ifstream in(path);
+  if (!in) return -1;
+  seg->tree.clear();
+  std::string line;
+  std::vector<int> last_at_depth;  // node index of the last line per depth
+  while (std::getline(in, line)) {
+    size_t depth = 0;
+    while (depth < line.size() && line[depth] == '\t') ++depth;
+    std::string body = trim(line);
+    if (body.empty()) continue;
+    size_t sep = body.find(" : ");
+    if (sep == std::string::npos) continue;
+    ScrdrNode node;
+    parse_condition(body.substr(0, sep), &node);
+    std::string concl = body.substr(sep + 3);
+    size_t q1 = concl.find('"');
+    size_t q2 = (q1 == std::string::npos) ? q1 : concl.find('"', q1 + 1);
+    if (q2 != std::string::npos)
+      node.conclusion = concl.substr(q1 + 1, q2 - q1 - 1);
+    int idx = (int)seg->tree.size();
+    if (idx == 0) {
+      if (depth != 0) { seg->tree.clear(); return -1; }  // root must lead
+    } else if (depth >= last_at_depth.size()) {
+      if (depth != last_at_depth.size()) { seg->tree.clear(); return -1; }
+      seg->tree[last_at_depth.back()].except_child = idx;  // first child
+    } else {
+      seg->tree[last_at_depth[depth]].else_child = idx;  // next sibling
+    }
+    last_at_depth.resize(depth);
+    last_at_depth.push_back(idx);
+    seg->tree.push_back(std::move(node));
+  }
+  return (int)seg->tree.size();
+}
+
 // segment one sentence; caller frees with free()
 char* rdr_segment(void* h, const char* sentence) {
   auto* seg = static_cast<Segmenter*>(h);
   std::vector<std::string> syls = split_ws(sentence);
   std::vector<std::string> words;
 
+  if (!seg->tree.empty() && !syls.empty()) {
+    // original-model path: B/I tagging + SCRDR tree corrections
+    words = scrdr_segment(*seg, syls);
+  } else {
   // 1. longest matching
   size_t i = 0;
   while (i < syls.size()) {
@@ -131,6 +301,7 @@ char* rdr_segment(void* h, const char* sentence) {
     }
     words.push_back(join(syls, i, best, '_'));
     i += best;
+  }
   }
 
   // 2. RDR corrections (single ripple pass, first matching rule fires)

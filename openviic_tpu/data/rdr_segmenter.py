@@ -7,9 +7,11 @@ native engine does lexicon longest-matching + RDR correction rules
 library or lexicon is unavailable.
 
 Usage: tokenizer name ``"rdr"`` in ``DATASET.VOCAB.TOKENIZER`` (see
-openviic_tpu/data/preprocess.py); lexicon/rules paths come from the
-``OPENVIIC_RDR_LEXICON`` / ``OPENVIIC_RDR_RULES`` environment variables or
-the ``default()`` arguments.
+openviic_tpu/data/preprocess.py); lexicon/rules/model paths come from the
+``OPENVIIC_RDR_LEXICON`` / ``OPENVIIC_RDR_RULES`` / ``OPENVIIC_RDR_MODEL``
+environment variables or the constructor arguments.  ``OPENVIIC_RDR_MODEL``
+accepts VnCoreNLP's original SCRDR tree serialization (the
+``wordsegmenter.rdr`` format).
 """
 
 from __future__ import annotations
@@ -28,7 +30,10 @@ class RDRSegmenter:
     _default: Optional["RDRSegmenter"] = None
 
     def __init__(
-        self, lexicon_path: Optional[str] = None, rules_path: Optional[str] = None
+        self,
+        lexicon_path: Optional[str] = None,
+        rules_path: Optional[str] = None,
+        model_path: Optional[str] = None,
     ):
         if not os.path.isfile(_LIB_PATH):
             import subprocess
@@ -50,6 +55,7 @@ class RDRSegmenter:
         lib.rdr_load_lexicon.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.rdr_load_rules.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.rdr_add_word.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.rdr_load_scrdr.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.rdr_segment.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.rdr_segment.restype = ctypes.c_void_p
         self._lib = lib
@@ -57,14 +63,30 @@ class RDRSegmenter:
 
         lexicon_path = lexicon_path or os.environ.get("OPENVIIC_RDR_LEXICON")
         rules_path = rules_path or os.environ.get("OPENVIIC_RDR_RULES")
+        model_path = model_path or os.environ.get("OPENVIIC_RDR_MODEL")
         if lexicon_path and os.path.isfile(lexicon_path):
             lib.rdr_load_lexicon(self._handle, lexicon_path.encode())
         if rules_path and os.path.isfile(rules_path):
             lib.rdr_load_rules(self._handle, rules_path.encode())
+        if model_path and os.path.isfile(model_path):
+            self.load_scrdr(model_path)
 
     def add_word(self, word: str) -> None:
         """Add a multi-syllable compound ('hoc sinh' style) to the lexicon."""
         self._lib.rdr_add_word(self._handle, word.encode())
+
+    def load_scrdr(self, model_path: str) -> int:
+        """Load a VnCoreNLP/RDRsegmenter SCRDR tree model (``.rdr`` file).
+
+        The original serialization of the reference's stripped
+        ``models/wordsegmenter/wordsegmenter.rdr`` blob (SURVEY.md §2.1):
+        tab-indented ``condition : object.conclusion = "B|I"`` lines forming
+        an except/else tree over syllable B/I tags.  Returns the number of
+        nodes loaded."""
+        n = self._lib.rdr_load_scrdr(self._handle, model_path.encode())
+        if n < 0:
+            raise ValueError(f"failed to parse SCRDR model at {model_path}")
+        return n
 
     def tokenize(self, sentence: str) -> str:
         raw = self._lib.rdr_segment(self._handle, sentence.encode())

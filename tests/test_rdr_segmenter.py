@@ -60,6 +60,81 @@ def test_add_word(segmenter):
     assert segmenter.tokenize("chiếc xe máy") == "chiếc xe_máy"
 
 
+SCRDR_MODEL = (
+    # root default: keep the initial tag
+    'True : object.conclusion = "NN"\n'
+    # B-tagged syllables stay B unless an exception below fires
+    '\tobject.tag == "B" : object.conclusion = "B"\n'
+    # ... "mèo" after "con" starts inside the word con_mèo
+    '\t\tobject.word == "mèo" and object.prevWord1 == "con" : '
+    'object.conclusion = "I"\n'
+    # ...... unless followed by "hoang" (deeper exception wins)
+    '\t\t\tobject.nextWord1 == "hoang" : object.conclusion = "B"\n'
+    # else-sibling chain at depth 2: "bộ" joins a preceding "đi"
+    '\t\tobject.word == "bộ" and object.prevTag1 == "B" and '
+    'object.prevWord1 == "đi" : object.conclusion = "I"\n'
+    # else-branch of the depth-1 node: I-tagged syllables stay I
+    '\tobject.tag == "I" : object.conclusion = "I"\n'
+    # ... except "học" after "những sinh" is split off
+    '\t\tobject.word == "học" and object.prevWord2 == "những" : '
+    'object.conclusion = "B"\n'
+)
+
+
+@pytest.fixture()
+def scrdr_segmenter(tmp_path):
+    lex = tmp_path / "lexicon.txt"
+    lex.write_text("sinh học\n")
+    model = tmp_path / "model.rdr"
+    model.write_text(SCRDR_MODEL)
+    try:
+        return RDRSegmenter(str(lex), model_path=str(model))
+    except RuntimeError:
+        pytest.skip("native segmenter not built")
+
+
+def test_scrdr_node_count(tmp_path):
+    model = tmp_path / "model.rdr"
+    model.write_text(SCRDR_MODEL)
+    try:
+        seg = RDRSegmenter(model_path=str(model))
+    except RuntimeError:
+        pytest.skip("native segmenter not built")
+    assert seg.load_scrdr(str(model)) == 7
+
+
+def test_scrdr_join_correction(scrdr_segmenter):
+    # lexicon alone leaves "con mèo" split; the tree's B->I exception joins
+    assert scrdr_segmenter.tokenize("một con mèo") == "một con_mèo"
+    # deeper exception ripples back to B before "hoang"
+    assert (
+        scrdr_segmenter.tokenize("một con mèo hoang") == "một con mèo hoang"
+    )
+
+
+def test_scrdr_else_sibling(scrdr_segmenter):
+    # the depth-2 else-sibling rule joins "đi bộ" (not in the lexicon)
+    assert scrdr_segmenter.tokenize("đang đi bộ") == "đang đi_bộ"
+
+
+def test_scrdr_split_correction(scrdr_segmenter):
+    # lexicon tags "sinh học" as one word; the I->B exception splits it
+    # when two positions back is "những"
+    assert scrdr_segmenter.tokenize("ngành sinh học") == "ngành sinh_học"
+    assert scrdr_segmenter.tokenize("những sinh học") == "những sinh học"
+
+
+def test_scrdr_malformed_model(tmp_path):
+    model = tmp_path / "bad.rdr"
+    model.write_text('\tobject.tag == "B" : object.conclusion = "B"\n')
+    try:
+        seg = RDRSegmenter()
+    except RuntimeError:
+        pytest.skip("native segmenter not built")
+    with pytest.raises(ValueError):
+        seg.load_scrdr(str(model))
+
+
 def test_preprocess_caption_with_rdr(tmp_path, monkeypatch):
     lex = tmp_path / "lex.txt"
     lex.write_text("đàn ông\n")
