@@ -48,6 +48,44 @@ def save_checkpoint(path: str, state: Dict[str, Any], extras: Dict[str, Any]) ->
     os.replace(tmp, path)
 
 
+class NativeBackend:
+    """The default single-file pickle backend (this module's functions)."""
+
+    LAST_NAME = LAST_NAME
+    BEST_NAME = BEST_NAME
+
+    def save_checkpoint(self, path, state, extras):
+        save_checkpoint(path, state, extras)
+
+    def load_checkpoint(self, path, params_template=None, opt_state_template=None):
+        return load_checkpoint(path, params_template, opt_state_template)
+
+    def copy(self, src: str, dst: str) -> None:
+        import shutil
+
+        shutil.copyfile(src, dst)
+
+    def exists(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def wait(self) -> None:  # saves are synchronous
+        pass
+
+
+def get_backend(name: str = "native"):
+    """Checkpoint IO backend by name: "native" (pickle) or "orbax" (async).
+
+    Configured via ``TRAINING.CHECKPOINT_BACKEND``."""
+    name = (name or "native").lower()
+    if name == "orbax":
+        from openviic_tpu.training.orbax_backend import OrbaxBackend
+
+        return OrbaxBackend()
+    if name == "native":
+        return NativeBackend()
+    raise ValueError(f"unknown checkpoint backend {name!r}")
+
+
 def load_checkpoint(
     path: str, params_template, opt_state_template
 ) -> Optional[Dict[str, Any]]:

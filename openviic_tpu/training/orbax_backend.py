@@ -1,0 +1,119 @@
+"""Orbax checkpoint backend (async, multi-host-safe).
+
+The native backend (training/checkpoint.py) writes a single pickle file —
+exactly the reference's ``last_model.pth`` convention
+(trainers/base_trainer.py:138-153).  This backend keeps the same last/best
+two-slot semantics but stores arrays through Orbax:
+
+ - **async saves**: the device->host copy happens synchronously, the disk
+   write in a background thread (``AsyncCheckpointer``), so training
+   continues while the checkpoint lands;
+ - **multi-host coordination**: Orbax serialises distributed arrays
+   correctly under ``jax.distributed`` (each host writes its shards; a
+   barrier finalises the commit), which a host-local pickle cannot do;
+ - **atomic commit**: Orbax writes to a temp dir and renames on finalise,
+   same crash-safety as the native tmp+rename.
+
+Payload layout (CompositeCheckpointHandler):
+ - item ``state``: {params, opt_leaves (flat), step, rng key data} via
+   StandardSave — params are plain flax dicts so they round-trip without a
+   template; the optimizer state's *Python* structure (optax NamedTuples,
+   which differ between the XE and SCST phases) is carried as a pickled
+   treedef in ``meta`` and re-attached by unflattening, keeping the
+   phase-independent restore the trainer relies on;
+ - item ``meta``: JSON extras + numpy RNG state + the treedef (base64).
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import pickle
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+LAST_NAME = "last_model.orbax"
+BEST_NAME = "best_model.orbax"
+
+
+def _np_rng_to_json(state) -> list:
+    kind, keys, pos, has_gauss, cached = state
+    return [kind, np.asarray(keys).tolist(), int(pos), int(has_gauss), float(cached)]
+
+
+def _np_rng_from_json(data) -> tuple:
+    kind, keys, pos, has_gauss, cached = data
+    return (kind, np.asarray(keys, dtype=np.uint32), int(pos), int(has_gauss),
+            float(cached))
+
+
+class OrbaxBackend:
+    LAST_NAME = LAST_NAME
+    BEST_NAME = BEST_NAME
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ckptr = ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
+
+    def save_checkpoint(
+        self, path: str, state: Dict[str, Any], extras: Dict[str, Any]
+    ) -> None:
+        ocp = self._ocp
+        opt_leaves = jax.tree.leaves(state["opt_state"])
+        opt_treedef = jax.tree.structure(state["opt_state"])
+        payload = {
+            "params": state["params"],
+            "opt_leaves": list(opt_leaves),
+            "step": state["step"],
+            "rng": jax.random.key_data(state["rng"]),
+        }
+        meta = {
+            "numpy_rng_state": _np_rng_to_json(np.random.get_state()),
+            "opt_treedef": base64.b64encode(pickle.dumps(opt_treedef)).decode(),
+            **extras,
+        }
+        self._ckptr.save(
+            os.path.abspath(path),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(payload),
+                meta=ocp.args.JsonSave(meta),
+            ),
+            force=True,
+        )
+
+    def load_checkpoint(
+        self, path: str, params_template=None, opt_state_template=None
+    ) -> Optional[Dict[str, Any]]:
+        if not os.path.isdir(path):
+            return None
+        self.wait()
+        restored = self._ckptr.restore(os.path.abspath(path))
+        payload, meta = restored["state"], dict(restored["meta"])
+        opt_treedef = pickle.loads(base64.b64decode(meta.pop("opt_treedef")))
+        opt_state = jax.tree.unflatten(opt_treedef, payload["opt_leaves"])
+        np.random.set_state(_np_rng_from_json(meta.pop("numpy_rng_state")))
+        state = {
+            "params": payload["params"],
+            "opt_state": opt_state,
+            "step": int(np.asarray(payload["step"])),
+            "rng": jax.random.wrap_key_data(np.asarray(payload["rng"])),
+        }
+        return {"state": state, **meta}
+
+    def copy(self, src: str, dst: str) -> None:
+        """best_model <- last_model (the reference's file copy on improve)."""
+        self.wait()  # the async save of `src` must have committed
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+
+    def exists(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()

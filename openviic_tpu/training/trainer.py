@@ -454,15 +454,25 @@ class BaseTrainer:
         return flat
 
     # -- checkpointing ---------------------------------------------------
+    @property
+    def _ckpt_io(self):
+        io = getattr(self, "_ckpt_io_cached", None)
+        if io is None:
+            io = ckpt.get_backend(
+                self.config.TRAINING.get("CHECKPOINT_BACKEND", "native")
+            )
+            self._ckpt_io_cached = io
+        return io
+
     def save_checkpoint(self, extras: Dict) -> None:
-        ckpt.save_checkpoint(
-            os.path.join(self.checkpoint_path, ckpt.LAST_NAME),
+        self._ckpt_io.save_checkpoint(
+            os.path.join(self.checkpoint_path, self._ckpt_io.LAST_NAME),
             self.state,
             {"epoch": self.epoch, **extras},
         )
 
     def load_checkpoint(self, fname: str) -> Optional[Dict]:
-        loaded = ckpt.load_checkpoint(
+        loaded = self._ckpt_io.load_checkpoint(
             fname, self.state["params"], self.state["opt_state"]
         )
         if loaded is None:
@@ -481,8 +491,8 @@ class BaseTrainer:
 
     # -- main loop -------------------------------------------------------
     def start(self, max_epochs: Optional[int] = None) -> None:
-        last = os.path.join(self.checkpoint_path, ckpt.LAST_NAME)
-        best_file = os.path.join(self.checkpoint_path, ckpt.BEST_NAME)
+        last = os.path.join(self.checkpoint_path, self._ckpt_io.LAST_NAME)
+        best_file = os.path.join(self.checkpoint_path, self._ckpt_io.BEST_NAME)
         loaded = self.load_checkpoint(last)
         if loaded is not None:
             use_rl = loaded["use_rl"]
@@ -537,7 +547,7 @@ class BaseTrainer:
                     logger.info("patience reached.")
                     exit_train = True
 
-            if switch_to_rl and not best and os.path.isfile(best_file):
+            if switch_to_rl and not best and self._ckpt_io.exists(best_file):
                 self.load_checkpoint(best_file)
                 # fresh RL optimizer state over the reloaded params
                 self.scst_step = None
@@ -552,7 +562,7 @@ class BaseTrainer:
                 }
             )
             if best:
-                shutil.copyfile(last, best_file)
+                self._ckpt_io.copy(last, best_file)
 
             if exit_train:
                 break
@@ -561,11 +571,12 @@ class BaseTrainer:
             if max_epochs is not None and epochs_run >= max_epochs:
                 logger.info("Reached max_epochs=%s", max_epochs)
                 break
+        self._ckpt_io.wait()  # async backends: flush the in-flight save
 
     # -- test-set predictions -------------------------------------------
     def get_predictions(self, get_scores: bool = True) -> None:
-        best_file = os.path.join(self.checkpoint_path, ckpt.BEST_NAME)
-        if not os.path.isfile(best_file):
+        best_file = os.path.join(self.checkpoint_path, self._ckpt_io.BEST_NAME)
+        if not self._ckpt_io.exists(best_file):
             raise FileNotFoundError(
                 "Prediction requires a trained model: no best_model checkpoint "
                 f"at {best_file}"
