@@ -6,6 +6,7 @@ from openviic_tpu.parallel.mesh import (
     param_shardings,
     replicate_sharding,
 )
+from openviic_tpu.parallel.ring_attention import ring_self_attention
 
 __all__ = [
     "make_mesh",
@@ -14,4 +15,5 @@ __all__ = [
     "param_shardings",
     "make_sharded_xe_step",
     "initialize_distributed",
+    "ring_self_attention",
 ]
