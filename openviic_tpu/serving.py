@@ -36,7 +36,7 @@ class CaptioningPipeline:
         beam_size: Optional[int] = None,
         batch_size: int = 32,
         use_bf16: bool = True,
-        checkpoint_name: str = ckpt.BEST_NAME,
+        checkpoint_name: Optional[str] = None,
     ):
         self.config = config
         checkpoint_dir = checkpoint_dir or os.path.join(
@@ -50,10 +50,12 @@ class CaptioningPipeline:
         self.compute_dtype = jnp.bfloat16 if use_bf16 else None
 
         # initialise to get the param template, then load the checkpoint
+        # through the configured backend (native pickle or orbax)
         dummy = self._dummy_batch()
         params = self.model.init(jax.random.PRNGKey(0), dummy)
-        path = os.path.join(checkpoint_dir, checkpoint_name)
-        loaded = ckpt.load_checkpoint(path, params, opt_state_template=None)
+        io = ckpt.get_backend(config.TRAINING.get("CHECKPOINT_BACKEND", "native"))
+        path = os.path.join(checkpoint_dir, checkpoint_name or io.BEST_NAME)
+        loaded = io.load_checkpoint(path, params, opt_state_template=None)
         if loaded is None:
             raise FileNotFoundError(f"no checkpoint at {path}")
         self.params = loaded["state"]["params"]
@@ -115,6 +117,45 @@ class CaptioningPipeline:
             caps = self.vocab.decode_caption(np.asarray(outs))
             results.extend(caps[: len(chunk)])
         return results
+
+    def caption_images(
+        self,
+        image_paths: Iterable[str],
+        backbone: str = "patch",
+        grid: int = 7,
+        region_boxes: Optional[Dict[str, "np.ndarray"]] = None,
+    ) -> Dict[str, str]:
+        """Caption raw image files: extract features, then decode.
+
+        ``backbone``: "patch" or "hf:<model>" (data/extraction.py).  The
+        patch backbone's feature dim is taken from the model config so the
+        extracted features match the vision embedding.  ``region_boxes``
+        optionally maps image path/stem -> (r, 4) normalized boxes for
+        ROI-pooled region features."""
+        from PIL import Image
+
+        from openviic_tpu.data.extraction import (
+            extract_feature_dict,
+            grid_boxes,
+            make_backbone,
+        )
+
+        vis = self.config.MODEL.VISION_EMBEDDING
+        dim = vis.get("D_FEATURE", None) or vis.get("D_GRID_FEATURE")
+        bb = make_backbone(backbone, grid, dim)
+        gboxes = grid_boxes(grid)
+        paths = list(image_paths)
+        feature_dicts = []
+        for path in paths:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            boxes = None
+            if region_boxes:
+                boxes = region_boxes.get(path, region_boxes.get(stem))
+            feature_dicts.append(
+                extract_feature_dict(Image.open(path), bb, gboxes, boxes)
+            )
+        captions = self.caption_features(feature_dicts)
+        return dict(zip(paths, captions))
 
     def caption_directory(
         self, features_dir: str, image_ids: Optional[Iterable] = None

@@ -11,7 +11,9 @@ from PIL import Image
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
-from extract_features import PatchBackbone, grid_boxes, main, roi_pool
+from openviic_tpu.data.extraction import PatchBackbone, grid_boxes, roi_pool
+
+from extract_features import main
 
 
 @pytest.fixture(scope="module")
