@@ -40,7 +40,7 @@ JAX_BATCH = 64  # images per decode batch on TPU
 TORCH_BATCH = 12  # reference DICT_BATCH_SIZE 60 // beam 5 (base_trainer.py:65)
 
 
-def bench_jax() -> float:
+def bench_jax() -> tuple:
     import jax
 
     from __graft_entry__ import _make_batch, _model_config, _tiny_vocab
@@ -84,7 +84,22 @@ def bench_jax() -> float:
         outs, _ = decode(params, batch=batch)
     np.asarray(outs)
     dt = time.perf_counter() - t0
-    return JAX_BATCH * n_iters / dt
+    throughput = JAX_BATCH * n_iters / dt
+
+    # p50 per-image latency: single-image decode (BASELINE.md north-star
+    # row), timed to device completion (block_until_ready) — the host copy
+    # over this environment's remote-TPU tunnel is not representative of a
+    # co-located host
+    one = {"region_features": batch["region_features"][:1]}
+    for _ in range(2):
+        np.asarray(decode(params, batch=one)[0])
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        decode(params, batch=one)[0].block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1e3)
+    return throughput, p50_ms
 
 
 def bench_torch_reference() -> float:
@@ -209,7 +224,7 @@ def bench_torch_reference() -> float:
 
 
 def main() -> None:
-    value = bench_jax()
+    value, p50_ms = bench_jax()
     try:
         baseline = bench_torch_reference()
     except Exception as e:  # torch missing/broken should not kill the bench
@@ -223,6 +238,7 @@ def main() -> None:
         "vs_baseline": round(value / baseline, 2) if baseline else None,
         "baseline_captions_per_sec": round(baseline, 2) if baseline else None,
         "baseline_hw": "torch-cpu reference-mechanics decode (no GPU available)",
+        "p50_per_image_latency_ms": round(p50_ms, 2),
         "decode_dtype": "bfloat16", "config": {
             "beam": BEAM, "vocab": VOCAB_SIZE, "max_len": MAX_LEN,
             "batch": JAX_BATCH, "d_model": D_MODEL, "layers": LAYERS,
