@@ -259,7 +259,12 @@ int rdr_load_scrdr(void* h, const char* path) {
     size_t sep = body.find(" : ");
     if (sep == std::string::npos) continue;
     ScrdrNode node;
-    parse_condition(body.substr(0, sep), &node);
+    // a condition that fails to parse must not become an empty (always-
+    // firing) node silently corrupting every tag — reject the model
+    if (!parse_condition(body.substr(0, sep), &node)) {
+      seg->tree.clear();
+      return -1;
+    }
     std::string concl = body.substr(sep + 3);
     size_t q1 = concl.find('"');
     size_t q2 = (q1 == std::string::npos) ? q1 : concl.find('"', q1 + 1);

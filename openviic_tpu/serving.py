@@ -131,7 +131,11 @@ class CaptioningPipeline:
         patch backbone's feature dim is taken from the model config so the
         extracted features match the vision embedding.  ``region_boxes``
         optionally maps image path/stem -> (r, 4) normalized boxes for
-        ROI-pooled region features."""
+        ROI-pooled region features; for region-consuming models with no
+        boxes supplied, the grid cells themselves are used as regions
+        (logged once).  Dual-dim (DLCT-style) configs need
+        D_REGION_FEATURE == D_GRID_FEATURE to caption raw images, since
+        both streams come from the same grid feature map."""
         from PIL import Image
 
         from openviic_tpu.data.extraction import (
@@ -141,9 +145,29 @@ class CaptioningPipeline:
         )
 
         vis = self.config.MODEL.VISION_EMBEDDING
-        dim = vis.get("D_FEATURE", None) or vis.get("D_GRID_FEATURE")
-        bb = make_backbone(backbone, grid, dim)
+        dim = vis.get("D_FEATURE", None)
+        if dim is None:
+            d_region = vis.get("D_REGION_FEATURE", None)
+            dim = vis.get("D_GRID_FEATURE", None) or d_region
+            if d_region is not None and d_region != dim:
+                raise ValueError(
+                    "caption_images derives region features from the grid "
+                    f"feature map (dim {dim}), which cannot feed a vision "
+                    f"embedding expecting D_REGION_FEATURE={d_region}; "
+                    "extract real region features offline instead "
+                    "(scripts/extract_features.py)."
+                )
+        key = (backbone, grid, dim)
+        cache = getattr(self, "_backbones", None)
+        if cache is None:
+            cache = self._backbones = {}
+        if key not in cache:  # hf backbones are expensive to load + jit
+            cache[key] = make_backbone(backbone, grid, dim)
+        bb = cache[key]
         gboxes = grid_boxes(grid)
+        needs_regions = (
+            self.config.MODEL.ARCHITECTURE != "StandardTransformerUsingGrid"
+        )
         paths = list(image_paths)
         feature_dicts = []
         for path in paths:
@@ -151,6 +175,8 @@ class CaptioningPipeline:
             boxes = None
             if region_boxes:
                 boxes = region_boxes.get(path, region_boxes.get(stem))
+            if boxes is None and needs_regions:
+                boxes = gboxes  # grid cells as regions (documented fallback)
             feature_dicts.append(
                 extract_feature_dict(Image.open(path), bb, gboxes, boxes)
             )

@@ -63,7 +63,17 @@ class OrbaxBackend:
     def save_checkpoint(
         self, path: str, state: Dict[str, Any], extras: Dict[str, Any]
     ) -> None:
+        """Save asynchronously to ``<path>.staging``; the committed staging
+        dir is swapped into ``path`` at the next sync point (``wait``).
+
+        Orbax's ``force=True`` deletes the destination *before* the async
+        commit lands, which would leave no resume point if the process died
+        mid-save; the staging swap keeps the previous checkpoint intact
+        through the whole write (``load_checkpoint`` also falls back to a
+        committed staging dir, so even a crash between the swap's rmtree
+        and rename loses nothing)."""
         ocp = self._ocp
+        self.wait()  # finalise any previous save + its pending swap
         opt_leaves = jax.tree.leaves(state["opt_state"])
         opt_treedef = jax.tree.structure(state["opt_state"])
         payload = {
@@ -77,21 +87,43 @@ class OrbaxBackend:
             "opt_treedef": base64.b64encode(pickle.dumps(opt_treedef)).decode(),
             **extras,
         }
+        staging = os.path.abspath(path) + ".staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
         self._ckptr.save(
-            os.path.abspath(path),
+            staging,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(payload),
                 meta=ocp.args.JsonSave(meta),
             ),
-            force=True,
         )
+        self._pending_swap = (staging, os.path.abspath(path))
+
+    def _finish_swap(self) -> None:
+        pending = getattr(self, "_pending_swap", None)
+        if pending is None:
+            return
+        staging, final = pending
+        self._pending_swap = None
+        if os.path.isdir(staging):
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.rename(staging, final)
 
     def load_checkpoint(
         self, path: str, params_template=None, opt_state_template=None
     ) -> Optional[Dict[str, Any]]:
-        if not os.path.isdir(path):
-            return None
         self.wait()
+        if not os.path.isdir(path):
+            # crash window fallback: a fully-committed staging dir whose
+            # swap never ran (never adopt an uncommitted partial write)
+            staging = path + ".staging"
+            if os.path.isdir(staging) and self._ocp.utils.is_checkpoint_finalized(
+                staging
+            ):
+                os.rename(staging, path)
+            else:
+                return None
         restored = self._ckptr.restore(os.path.abspath(path))
         payload, meta = restored["state"], dict(restored["meta"])
         opt_treedef = pickle.loads(base64.b64decode(meta.pop("opt_treedef")))
@@ -107,13 +139,14 @@ class OrbaxBackend:
 
     def copy(self, src: str, dst: str) -> None:
         """best_model <- last_model (the reference's file copy on improve)."""
-        self.wait()  # the async save of `src` must have committed
+        self.wait()  # the async save of `src` must have committed + swapped
         if os.path.isdir(dst):
             shutil.rmtree(dst)
         shutil.copytree(src, dst)
 
     def exists(self, path: str) -> bool:
-        return os.path.isdir(path)
+        return os.path.isdir(path) or os.path.isdir(path + ".staging")
 
     def wait(self) -> None:
         self._ckptr.wait_until_finished()
+        self._finish_swap()

@@ -30,7 +30,6 @@ import itertools
 import json
 import os
 import pickle
-import shutil
 import time
 from typing import Dict, Optional
 
@@ -130,18 +129,27 @@ class BaseTrainer:
             from openviic_tpu.data.grain_loader import GrainDataLoader
 
             loader_cls = GrainDataLoader
+            # Only the *train* streams shard across hosts (each host trains
+            # a disjoint part of the global epoch).  Eval streams must be
+            # identical on every host: best/patience/RL-switch decisions
+            # derive from val scores, and divergent control flow would
+            # deadlock collectives/checkpoint barriers.
+            eval_kwargs = {"shard_index": 0, "shard_count": 1}
         else:
             loader_cls = DataLoader
+            eval_kwargs = {}
 
         self.train_dataloader = loader_cls(
             self.train_dataset, ds.FEATURE_BATCH_SIZE, shuffle=True, seed=13,
             drop_last=self.mesh is not None,
         )
         self.val_dataloader = loader_cls(
-            self.dev_dataset, ds.FEATURE_BATCH_SIZE, shuffle=False
+            self.dev_dataset, ds.FEATURE_BATCH_SIZE, shuffle=False,
+            **eval_kwargs,
         )
         self.test_dataloader = loader_cls(
-            self.test_dataset, ds.FEATURE_BATCH_SIZE, shuffle=False
+            self.test_dataset, ds.FEATURE_BATCH_SIZE, shuffle=False,
+            **eval_kwargs,
         )
         self.train_dict_dataloader = loader_cls(
             self.train_dict_dataset,
@@ -153,9 +161,10 @@ class BaseTrainer:
             self.dev_dict_dataset,
             max(1, ds.DICT_BATCH_SIZE // self.evaluating_beam_size),
             shuffle=False,
+            **eval_kwargs,
         )
         self.test_dict_dataloader = loader_cls(
-            self.test_dict_dataset, 1, shuffle=False
+            self.test_dict_dataset, 1, shuffle=False, **eval_kwargs
         )
 
         logger.info("Building model")
@@ -498,7 +507,11 @@ class BaseTrainer:
             use_rl = loaded["use_rl"]
             best_val_score = loaded["best_val_score"]
             patience = loaded["patience"]
-            self.epoch = loaded["epoch"]
+            # the checkpoint marks epoch e *completed*: resume at e+1.  (The
+            # reference restores self.epoch = e and re-trains the finished
+            # epoch, vi_trainer.py:166,227 — a wasted epoch we deliberately
+            # do not replicate.)
+            self.epoch = loaded["epoch"] + 1
             # deterministic resume: realign the shuffle stream with where an
             # uninterrupted run would be (loader epoch counter is not part
             # of the checkpoint; SURVEY.md §5 failure-recovery semantics)

@@ -134,6 +134,16 @@ def test_scrdr_malformed_model(tmp_path):
     with pytest.raises(ValueError):
         seg.load_scrdr(str(model))
 
+    # an unparseable condition must fail the load, not become an
+    # always-firing empty condition
+    bad_cond = tmp_path / "bad_cond.rdr"
+    bad_cond.write_text(
+        'True : object.conclusion = "NN"\n'
+        '\tobject.tag != "B" : object.conclusion = "I"\n'
+    )
+    with pytest.raises(ValueError):
+        seg.load_scrdr(str(bad_cond))
+
 
 def test_preprocess_caption_with_rdr(tmp_path, monkeypatch):
     lex = tmp_path / "lex.txt"

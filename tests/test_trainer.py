@@ -100,9 +100,17 @@ def test_full_start_loop_and_predictions(tmp_path_factory, tiny_dataset_dir):
         data = json.load(f)
     assert "results" in data and "CIDEr" in data
 
-    # resume: a fresh trainer picks up from last_model
+    # resume: a fresh trainer picks up from last_model.  The checkpoint
+    # marks its epoch *completed* — the resumed run must train the next
+    # epoch label, not repeat the finished one (the reference re-trains
+    # it, vi_trainer.py:166,227; deliberate deviation).
     tr2 = build_trainer(cfg)
     tr2.start(max_epochs=1)
+    assert tr2.epoch == 3  # epochs 0,1 in run 1, epoch 2 in the resume
+    resumed = tr2.load_checkpoint(
+        os.path.join(tr2.checkpoint_path, "last_model.ckpt")
+    )
+    assert resumed["epoch"] == 2
 
 
 def test_data_parallel_training(tmp_path_factory, tiny_dataset_dir):
