@@ -232,6 +232,83 @@ def test_greedy_parity(ref, arch, encoder, decoder, attn, aoa, feats):
     )
 
 
+UNIFIED_FEATS = ["region_features", "region_boxes", "grid_features", "grid_boxes"]
+
+
+def _fix_unified_calls(ref_model):
+    """Reference bug shim (same family as the ORT one): UnifiedTransformer
+    calls ``self.encoder(Instance(...))`` / ``self.decoder(Instance(...))``
+    but the registered Encoder/Decoder forwards take positional fields —
+    TypeError as shipped.  Re-route the fields as the signatures require."""
+
+    def _encode(self, input_features):
+        vision_features = torch.cat(
+            [
+                input_features.region_features,
+                input_features.region_boxes,
+                input_features.grid_features,
+                input_features.grid_boxes,
+            ],
+            dim=1,
+        )
+        vision_features, vision_padding_mask = self.vision_embedding(
+            vision_features
+        )
+        encoder_features = self.encoder(
+            features=vision_features, padding_mask=vision_padding_mask
+        )
+        return encoder_features, vision_padding_mask
+
+    def forward(self, input_features):
+        encoder_features, vision_padding_mask = _encode(self, input_features)
+        return self.decoder(
+            caption_tokens=input_features.caption_tokens,
+            encoder_features=encoder_features,
+            encoder_attention_mask=vision_padding_mask,
+        )
+
+    ref_model.forward = types.MethodType(forward, ref_model)
+    ref_model.encoder_forward = types.MethodType(_encode, ref_model)
+
+
+def test_unified_transformer_parity(ref):
+    """UnifiedTransformer (unified_transformer.py:21-55) concatenates
+    [region_features, region_boxes, grid_features, grid_boxes] on the
+    sequence axis — which only typechecks when the feature dims equal the
+    box dim (4), the 'dimensionally dubious' shape SURVEY.md §2.3#21
+    records.  Parity is asserted at exactly that shape."""
+    vocab = FakeVocab()
+    cfg = model_config(architecture="UnifiedTransformer", d_feature=4)
+    torch.manual_seed(0)
+    ref_model = ref.META_ARCHITECTURE.get("UnifiedTransformer")(cfg, vocab)
+    ref_model.eval()
+    _fix_unified_calls(ref_model)
+    model = build_model(cfg, vocab)
+    batch = make_batch(vocab, bs=3, d_feature=4, d_grid=4)
+    params = _transplant(ref_model, model, batch)
+
+    out = np.asarray(model.apply(params, batch))
+    with torch.no_grad():
+        ref_out = ref_model(
+            _torch_batch(ref, batch, UNIFIED_FEATS, with_caption=True)
+        )
+    np.testing.assert_allclose(out, ref_out.numpy(), atol=5e-5, rtol=1e-5)
+
+    with torch.no_grad():
+        ref_toks, ref_lp = ref_model.beam_search(
+            _torch_batch(ref, batch, UNIFIED_FEATS),
+            batch_size=3, beam_size=5, out_size=5,
+        )
+    got_toks, got_lp = beam_search(
+        model, params, {k: batch[k] for k in UNIFIED_FEATS},
+        beam_size=5, out_size=5,
+    )
+    np.testing.assert_array_equal(np.asarray(got_toks), ref_toks.numpy())
+    np.testing.assert_allclose(
+        np.asarray(got_lp), ref_lp.numpy(), atol=5e-5, rtol=1e-5
+    )
+
+
 # ------------------------------------------------------- training dynamics
 def test_training_dynamics_match_reference(ref):
     """20 Adam+NLL steps from identical weights on identical batches give
