@@ -63,6 +63,38 @@ def _resolve_ancestry(cache_arr: jnp.ndarray, ancestry: jnp.ndarray) -> jnp.ndar
     return out.reshape(cache_arr.shape)
 
 
+def _ring_dispatch(q, k, v, d_k, mask, bias):
+    """Sequence-parallel path: inside a ``parallel.ring_attention`` context,
+    bidirectional self-attention (nq == nk, query-independent mask) runs as
+    a K/V ring over the mesh's sequence axis.  Returns None when not
+    eligible (decoder causal/cached attention, indivisible lengths)."""
+    from openviic_tpu.parallel.ring_attention import (
+        current_ring_context,
+        ring_self_attention,
+    )
+
+    ctx = current_ring_context()
+    if ctx is None:
+        return None
+    nq, nk = q.shape[1], k.shape[1]
+    if (
+        nq != nk
+        or nq % ctx.mesh.shape[ctx.seq_axis] != 0
+        or (mask is not None and mask.shape[2] != 1)
+    ):
+        return None
+    key_mask = mask[:, 0, 0, :] if mask is not None else None
+    out = ring_self_attention(
+        q, k, v, ctx.mesh,
+        bias=bias, key_mask=key_mask,
+        seq_axis=ctx.seq_axis, batch_axis=ctx.batch_axis,
+        scale=1.0 / float(d_k) ** 0.5,
+    )
+    # fully-masked rows: ring returns 0 (dense gives NaN); padded query
+    # rows are zeroed by the callers either way (encoders.py)
+    return out.astype(q.dtype)
+
+
 def _attend(
     q: jnp.ndarray,  # (bs, nq, h, d_k)
     k: jnp.ndarray,  # (bs, nk, h, d_k)
@@ -72,6 +104,10 @@ def _attend(
     bias: Optional[jnp.ndarray] = None,  # additive, (bs, h, nq, nk)
 ) -> jnp.ndarray:
     from openviic_tpu.ops import fused_attention, pallas_enabled
+
+    ring = _ring_dispatch(q, k, v, d_k, mask, bias)
+    if ring is not None:
+        return ring
 
     if pallas_enabled():
         # mask becomes an additive -1e30 bias; fully-masked rows then give a

@@ -6,7 +6,10 @@ from openviic_tpu.parallel.mesh import (
     param_shardings,
     replicate_sharding,
 )
-from openviic_tpu.parallel.ring_attention import ring_self_attention
+from openviic_tpu.parallel.ring_attention import (
+    ring_attention,
+    ring_self_attention,
+)
 
 __all__ = [
     "make_mesh",
@@ -15,5 +18,6 @@ __all__ = [
     "param_shardings",
     "make_sharded_xe_step",
     "initialize_distributed",
+    "ring_attention",
     "ring_self_attention",
 ]

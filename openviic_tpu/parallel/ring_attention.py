@@ -26,12 +26,51 @@ quadratic bias also never exists in full on any device.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class RingContext(NamedTuple):
+    mesh: Mesh
+    seq_axis: str
+    batch_axis: Optional[str]
+
+
+_RING_CTX: contextvars.ContextVar[Optional[RingContext]] = contextvars.ContextVar(
+    "openviic_ring_attention_ctx", default=None
+)
+
+
+def current_ring_context() -> Optional[RingContext]:
+    return _RING_CTX.get()
+
+
+@contextlib.contextmanager
+def ring_attention(mesh: Mesh, seq_axis: str = "seq",
+                   batch_axis: Optional[str] = None):
+    """Route eligible encoder self-attention through the ring kernel.
+
+    Inside this context, the framework's attention kernels
+    (models/attention.py ``_attend``) dispatch bidirectional self-attention
+    (nq == nk, query-independent mask) to ``ring_self_attention`` over
+    ``mesh``'s ``seq_axis`` — making every encoder (incl. the geometric-
+    bias ORT/DLCT ones) sequence-parallel without touching model code:
+
+        with ring_attention(mesh, "seq"):
+            out = jax.jit(model.apply, ...)(params, batch)
+
+    Decoder attention (causal masks, cached K/V) is unaffected."""
+    token = _RING_CTX.set(RingContext(mesh, seq_axis, batch_axis))
+    try:
+        yield
+    finally:
+        _RING_CTX.reset(token)
 
 
 def _ring_attention_local(

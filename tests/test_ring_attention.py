@@ -106,3 +106,86 @@ def test_rejects_indivisible_sequence():
     mesh = make_mesh({"seq": 4}, jax.devices()[:4])
     with pytest.raises(ValueError):
         ring_self_attention(q, k, v, mesh)
+
+
+# ---------------------------------------------- encoder integration (context)
+def _model_outputs(arch, encoder, attn, batch, ring_mesh=None):
+    from openviic_tpu.builders import build_model
+    from openviic_tpu.parallel.ring_attention import ring_attention
+    from tests.helpers import model_config
+
+    cfg = model_config(architecture=arch, encoder=encoder, enc_attention=attn)
+    model = build_model(cfg, vocab=_TinyVocab())
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    def fwd(params, batch):
+        return model.apply(params, batch, method=model.encoder_forward)
+
+    if ring_mesh is None:
+        feats, mask = jax.jit(fwd)(params, batch)
+    else:
+        with ring_attention(ring_mesh, "seq"):
+            feats, mask = jax.jit(fwd)(params, batch)
+    return np.asarray(feats)
+
+
+class _TinyVocab:
+    def __init__(self, n=30, max_len=12):
+        self.itos = ["<pad>", "<bos>", "<eos>", "<unk>"] + [
+            f"w{i}" for i in range(n - 4)
+        ]
+        self.stoi = {t: i for i, t in enumerate(self.itos)}
+        self.padding_idx, self.bos_idx, self.eos_idx, self.unk_idx = 0, 1, 2, 3
+        self.max_caption_length = max_len
+        self.word_embeddings = None
+
+    def __len__(self):
+        return len(self.itos)
+
+
+def _region_batch(bs=2, n=16, d=13, seed=0):
+    r = np.random.default_rng(seed)
+    boxes = r.uniform(0, 0.5, size=(bs, n, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + 0.3
+    vocab_len = 12
+    caption = np.zeros((bs, vocab_len), np.int32)
+    caption[:, 0] = 1
+    feats = r.normal(size=(bs, n, d)).astype(np.float32)
+    feats[:, -3:] = 0.0  # padded rows -> masked by sum==0
+    return {
+        "caption_tokens": jnp.asarray(caption),
+        "region_features": jnp.asarray(feats),
+        "region_boxes": jnp.asarray(boxes),
+    }
+
+
+def test_encoder_ring_context_matches_default():
+    """A whole encoder forward under the ring context equals the dense
+    path — sequence parallelism without touching model code."""
+    batch = _region_batch()
+    mesh = make_mesh({"seq": 4}, jax.devices()[:4])
+    base = _model_outputs(
+        "StandardTransformerUsingRegion", "Encoder",
+        "ScaledDotProductAttention", batch,
+    )
+    ringed = _model_outputs(
+        "StandardTransformerUsingRegion", "Encoder",
+        "ScaledDotProductAttention", batch, ring_mesh=mesh,
+    )
+    np.testing.assert_allclose(ringed, base, atol=2e-5)
+
+
+def test_geometric_encoder_ring_context_matches_default():
+    """ORT's geometric-bias encoder through the ring (bias sharded on the
+    query axis inside the kernel)."""
+    batch = _region_batch(seed=3)
+    mesh = make_mesh({"seq": 2}, jax.devices()[:2])
+    base = _model_outputs(
+        "ObjectRelationTransformer", "GeometricEncoder",
+        "AugmentedGeometryScaledDotProductAttention", batch,
+    )
+    ringed = _model_outputs(
+        "ObjectRelationTransformer", "GeometricEncoder",
+        "AugmentedGeometryScaledDotProductAttention", batch, ring_mesh=mesh,
+    )
+    np.testing.assert_allclose(ringed, base, atol=2e-5)
