@@ -1,0 +1,47 @@
+"""Caption-serving CLI: load a trained checkpoint and serve HTTP.
+
+Usage:
+  python serve.py --config-file configs/standard_transformer.yaml \
+      [--port 8080] [--beam 3] [--batch 32] [--backbone patch|hf:<model>]
+
+Endpoints: POST /caption (raw image bytes), POST /caption_features
+(np.save'd feature dict), GET /healthz.  See openviic_tpu/server.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from openviic_tpu.config import get_config
+from openviic_tpu.serving import CaptioningPipeline
+from openviic_tpu.server import CaptionServer
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--config-file", required=True)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--beam", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--backbone", default="patch",
+                    help="image feature backbone: 'patch' or 'hf:<model>'")
+    ap.add_argument("--grid", type=int, default=7)
+    ap.add_argument("opts", nargs="*", help="dotted config overrides")
+    args = ap.parse_args()
+
+    config = get_config(args.config_file, args.opts)
+    pipeline = CaptioningPipeline(
+        config, beam_size=args.beam, batch_size=args.batch
+    )
+    server = CaptionServer(
+        pipeline, host=args.host, port=args.port,
+        max_batch=args.batch, max_wait_ms=args.max_wait_ms,
+        backbone=args.backbone, grid=args.grid,
+    )
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
