@@ -17,6 +17,8 @@ REINFORCE-with-baseline on those.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -47,36 +49,75 @@ def _cast_floating(tree, dtype):
 
 
 def make_xe_step(model, optimizer, label_smoothing: float = 0.0,
-                 mixed_precision: bool = False):
+                 mixed_precision: bool = False, grad_accum: int = 1):
     """Returns a jitted (state, batch) -> (state, loss) XE update.
 
     ``mixed_precision``: forward/backward in bf16 against f32 master
     params (the cast is differentiable, so gradients arrive in f32 for the
-    Adam update)."""
+    Adam update).
 
-    @jax.jit
+    ``grad_accum``: split the batch into this many microbatches along axis
+    0 (must divide the batch size) and accumulate gradients over them with
+    a ``lax.scan`` before the single optimizer update — the activation
+    peak drops to one microbatch's worth, letting an effective batch far
+    beyond HBM run in one logical step.  Token-weighted so the result
+    equals the full-batch gradient exactly (each microbatch's mean-NLL is
+    re-weighted by its non-pad token count).
+
+    ``state`` is donated: XLA updates params/opt_state in place instead of
+    allocating a second copy (callers must reassign, ``state = step(state,
+    batch)`` — the trainer does)."""
+
+    def _loss_terms(params, mb, rng):
+        """(sum of per-token losses, token count) for one microbatch."""
+        mb_cast = _cast_floating(mb, jnp.bfloat16) if mixed_precision else mb
+        if mixed_precision:
+            params = _cast_floating(params, jnp.bfloat16)
+        out = model.apply(params, mb_cast, train=True, rngs={"dropout": rng})
+        targets = mb["shifted_right_caption_tokens"]
+        pad = model.vocab.padding_idx
+        count = jnp.maximum((targets != pad).sum(), 1)
+        if label_smoothing > 0.0:
+            mean = label_smoothing_loss(out, targets, pad, smoothing=label_smoothing)
+        else:
+            mean = nll_loss(out, targets, pad)
+        return mean * count, count
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def xe_step(state, batch):
         rng, new_rng = jax.random.split(state["rng"])
-        step_batch = _cast_floating(batch, jnp.bfloat16) if mixed_precision else batch
 
-        def loss_fn(params):
-            if mixed_precision:
-                params = _cast_floating(params, jnp.bfloat16)
-            out = model.apply(params, step_batch, train=True, rngs={"dropout": rng})
-            if label_smoothing > 0.0:
-                return label_smoothing_loss(
-                    out,
-                    batch["shifted_right_caption_tokens"],
-                    model.vocab.padding_idx,
-                    smoothing=label_smoothing,
-                )
-            return nll_loss(
-                out,
-                batch["shifted_right_caption_tokens"],
-                model.vocab.padding_idx,
+        if grad_accum <= 1:
+            def loss_fn(params):
+                total, count = _loss_terms(params, batch, rng)
+                return total / count
+
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape(grad_accum, x.shape[0] // grad_accum, *x.shape[1:]),
+                dict(batch),
             )
+            rngs = jax.random.split(rng, grad_accum)
+            grad_fn = jax.value_and_grad(_loss_terms, has_aux=True)
+            zero = jax.tree.map(jnp.zeros_like, state["params"])
 
-        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            def body(carry, mb_rng):
+                g_acc, total_acc, count_acc = carry
+                mb, r = mb_rng
+                (total, count), g = grad_fn(state["params"], mb, r)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, total_acc + total, count_acc + count), None
+
+            (g_sum, total, count), _ = jax.lax.scan(
+                body,
+                (zero, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+                (micro, rngs),
+            )
+            # grads of (mean*count) summed / total count == full-batch grad
+            grads = jax.tree.map(lambda g: g / count, g_sum)
+            loss = total / count
+
         updates, opt_state = optimizer.update(
             grads, state["opt_state"], state["params"]
         )
@@ -137,9 +178,10 @@ def make_scst_grad_step(model, optimizer, beam_size: int):
 
     ``batch`` is the *unexpanded* (bs, ...) feature batch; the beam-wise
     expansion happens on device inside the jit (a host-side repeat would
-    re-copy the features every iteration)."""
+    re-copy the features every iteration).  ``state`` is donated (see
+    make_xe_step)."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def scst_step(state, batch, sampled, reward):
         rng, new_rng = jax.random.split(state["rng"])
         bs = reward.shape[0]

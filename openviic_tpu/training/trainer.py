@@ -112,8 +112,21 @@ class BaseTrainer:
         self.mesh = None
         import math as _math
 
+        grad_accum = int(config.TRAINING.get("GRAD_ACCUM", 1))
+        if grad_accum > 1 and ds.FEATURE_BATCH_SIZE % grad_accum:
+            raise ValueError(
+                f"TRAINING.GRAD_ACCUM={grad_accum} must divide "
+                f"DATASET.FEATURE_BATCH_SIZE={ds.FEATURE_BATCH_SIZE}"
+            )
+
         data_axis = _math.gcd(int(ds.FEATURE_BATCH_SIZE), len(jax.devices()))
         if data_axis > 1 and config.TRAINING.get("DATA_PARALLEL", True):
+            if grad_accum > 1:
+                raise ValueError(
+                    "TRAINING.GRAD_ACCUM is for single-device training; "
+                    "with a data-parallel mesh, scale the batch across "
+                    "devices instead (or set TRAINING.DATA_PARALLEL: false)"
+                )
             from openviic_tpu.parallel import make_mesh
 
             self.mesh = make_mesh(
@@ -139,9 +152,24 @@ class BaseTrainer:
             loader_cls = DataLoader
             eval_kwargs = {}
 
+        # Static-shape padding control: DATASET.MAX_REGIONS pins every
+        # ``region_*`` feature key to one global row count (a single XLA
+        # compile instead of one per bucket); DATASET.PAD_SIZES gives
+        # per-key control ({key: rows}).  Unpinned variable keys fall back
+        # to bucket padding (multiples of 8, data/loader.py).
+        pad_sizes = dict(ds.get("PAD_SIZES", {}) or {})
+        max_regions = ds.get("MAX_REGIONS")
+        if max_regions:
+            for key in ("region_features", "region_boxes"):
+                pad_sizes.setdefault(key, int(max_regions))
+        loader_kwargs = {"pad_sizes": pad_sizes} if pad_sizes else {}
+        eval_kwargs.update(loader_kwargs)
+
+        # grad accumulation needs every batch divisible by GRAD_ACCUM, so
+        # the ragged final batch is dropped (as with a device mesh)
         self.train_dataloader = loader_cls(
             self.train_dataset, ds.FEATURE_BATCH_SIZE, shuffle=True, seed=13,
-            drop_last=self.mesh is not None,
+            drop_last=self.mesh is not None or grad_accum > 1, **loader_kwargs,
         )
         self.val_dataloader = loader_cls(
             self.dev_dataset, ds.FEATURE_BATCH_SIZE, shuffle=False,
@@ -156,6 +184,7 @@ class BaseTrainer:
             max(1, ds.DICT_BATCH_SIZE // self.training_beam_size),
             shuffle=True,
             seed=17,
+            **loader_kwargs,
         )
         self.val_dict_dataloader = loader_cls(
             self.dev_dict_dataset,
@@ -200,6 +229,7 @@ class BaseTrainer:
                 self.optimizer,
                 label_smoothing=float(config.TRAINING.get("LABEL_SMOOTHING", 0.0)),
                 mixed_precision=bool(config.TRAINING.get("MIXED_PRECISION", False)),
+                grad_accum=grad_accum,
             )
         self.eval_step = make_eval_loss_step(self.model)
         # decode dtype: f32 by default (token-level parity with the

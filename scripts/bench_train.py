@@ -35,6 +35,8 @@ def main() -> None:
 
     batch = _make_batch(vocab, bs=XE_BATCH, n_regions=50, d_feature=DF)
     params = model.init(jax.random.PRNGKey(0), batch)
+    # keep a copy: the steps donate their state, invalidating these buffers
+    params_copy = jax.tree.map(jnp.copy, params)
     optimizer = make_optimizer(D, warmup=10000)
     state = {
         "params": params,
@@ -55,6 +57,48 @@ def main() -> None:
     np.asarray(loss)
     dt = (time.perf_counter() - t0) / iters
     print(f"XE step: {dt*1000:.1f} ms  ({XE_BATCH/dt:.0f} captions/s)")
+
+    # mixed-precision XE step (TRAINING.MIXED_PRECISION: bf16 fwd/bwd
+    # against the same f32 master params/optimizer)
+    xe_step_bf16 = make_xe_step(model, optimizer, mixed_precision=True)
+    state_mp = {
+        "params": params_copy,
+        "opt_state": optimizer.init(params_copy),
+        "step": 0,
+        "rng": jax.random.PRNGKey(1),
+    }
+    state_mp, loss = xe_step_bf16(state_mp, batch)
+    np.asarray(loss)
+    state_mp, loss = xe_step_bf16(state_mp, batch)
+    np.asarray(loss)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        state_mp, loss = xe_step_bf16(state_mp, batch)
+    np.asarray(loss)
+    dt_mp = (time.perf_counter() - t0) / 20
+    print(f"XE step (bf16): {dt_mp*1000:.1f} ms  ({XE_BATCH/dt_mp:.0f} captions/s)")
+
+    # analytic speed-of-light: matmul FLOPs of one fwd+bwd step at this shape
+    def _mha(nq, nk, d):
+        proj = 2 * 3 * nq * d * d if nq == nk else 2 * (nq * d * d + 2 * nk * d * d)
+        return proj + 2 * 2 * nq * nk * d + 2 * nq * d * d
+
+    n_reg, n_cap = 50, MAX_LEN
+    fwd = (
+        2 * n_reg * DF * D
+        + L * (_mha(n_reg, n_reg, D) + 4 * n_reg * D * FF)
+        + L * _mha(n_cap, n_cap, D)
+        + L * (2 * (n_cap * D * D + 2 * n_reg * D * D) + 4 * n_cap * n_reg * D + 2 * n_cap * D * D)
+        + L * 4 * n_cap * D * FF
+        + 2 * n_cap * D * VOCAB
+    ) * XE_BATCH
+    step_flops = 3 * fwd  # fwd + ~2x for bwd
+    print(
+        f"  analytic: {step_flops/1e9:.0f} GFLOP/step -> SOL "
+        f"{step_flops/197e12*1e3:.1f} ms bf16 / {step_flops/49e12*1e3:.1f} ms fp32 (v5e); "
+        f"measured MXU util ~{step_flops/49e12/dt*100:.0f}% (fp32), "
+        f"~{step_flops/197e12/dt_mp*100:.0f}% (bf16)"
+    )
 
     # ---- SCST iteration --------------------------------------------------
     from openviic_tpu import native
@@ -91,6 +135,7 @@ def main() -> None:
     )
 
     def scst_iter():
+        nonlocal rl_state
         outs, _ = sample(rl_state["params"], batch=scst_batch)
         sampled = np.asarray(outs).reshape(SCST_IMAGES * BEAM, -1)
         caps = []
@@ -106,7 +151,7 @@ def main() -> None:
         gts = {str(i): [" ".join(rng.choice(words, 10))] for i in range(len(caps))}
         reward = cider.compute_score(gts, gens)[1].astype(np.float32)
         reward = jnp.asarray(reward.reshape(SCST_IMAGES, BEAM))
-        new_state, loss = scst_step(rl_state, scst_batch, jnp.asarray(sampled), reward)
+        rl_state, loss = scst_step(rl_state, scst_batch, jnp.asarray(sampled), reward)
         return float(loss)
 
     scst_iter()
@@ -126,6 +171,7 @@ def main() -> None:
     globals_ = None  # keep names local
 
     def scst_iter_big():
+        nonlocal rl_state
         outs, _ = sample(rl_state["params"], batch=scst_batch)
         sampled = np.asarray(outs).reshape(big * BEAM, -1)
         caps = []
@@ -141,7 +187,7 @@ def main() -> None:
         gts = {str(i): [" ".join(rng.choice(words, 10))] for i in range(len(caps))}
         reward = cider.compute_score(gts, gens)[1].astype(np.float32)
         reward = jnp.asarray(reward.reshape(big, BEAM))
-        new_state, loss = scst_step(rl_state, scst_batch, jnp.asarray(sampled), reward)
+        rl_state, loss = scst_step(rl_state, scst_batch, jnp.asarray(sampled), reward)
         return float(loss)
 
     scst_iter_big()

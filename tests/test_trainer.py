@@ -364,3 +364,19 @@ def test_device_reward_on_by_default_and_matches_host(
     gts = {f"{i}": c for i, c in enumerate(caps_gt)}
     host = tr.train_cider.compute_score(gts, gens)[1].astype(np.float32)
     np.testing.assert_allclose(device, host.reshape(bs, beam), atol=1e-4)
+
+
+def test_max_regions_pins_static_shapes(tmp_path_factory, tiny_dataset_dir):
+    """DATASET.MAX_REGIONS gives every region batch one global row count
+    (a single XLA compile instead of one per bucket size)."""
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("maxreg")
+    cfg = full_config(tmp, tiny_dataset_dir).clone()
+    cfg.DATASET.MAX_REGIONS = 48
+    tr = build_trainer(cfg)
+    for loader in (tr.train_dataloader, tr.train_dict_dataloader,
+                   tr.val_dataloader):
+        batch = next(iter(loader))
+        assert batch["region_features"].shape[1] == 48
+        assert batch["region_boxes"].shape[1] == 48
