@@ -74,6 +74,19 @@ def _device_batch(items, mesh=None) -> Dict[str, jnp.ndarray]:
 class BaseTrainer:
     def __init__(self, config):
         self.config = config
+
+        # TRAINING.RNG_IMPL: "threefry" (default; reproducible-everywhere
+        # counter-based PRNG) or "rbg" — the TPU-native hardware RNG.
+        # Threefry mask generation costs ~3 ms of the ~11 ms XE step at
+        # reference scale (dropout masks for every layer); rbg removes it
+        # entirely (PERF.md XE ablation: 5 330 -> 7 758 captions/s bf16).
+        # Must be set before any PRNG key in the trainer is created.
+        rng_impl = str(config.TRAINING.get("RNG_IMPL", "threefry"))
+        if rng_impl not in ("threefry", "rbg", "unsafe_rbg"):
+            raise ValueError(f"TRAINING.RNG_IMPL={rng_impl!r} not recognised")
+        if rng_impl != "threefry":
+            jax.config.update("jax_default_prng_impl", rng_impl)
+
         self.checkpoint_path = os.path.join(
             config.TRAINING.CHECKPOINT_PATH, config.MODEL.NAME
         )

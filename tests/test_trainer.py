@@ -380,3 +380,29 @@ def test_max_regions_pins_static_shapes(tmp_path_factory, tiny_dataset_dir):
         batch = next(iter(loader))
         assert batch["region_features"].shape[1] == 48
         assert batch["region_boxes"].shape[1] == 48
+
+
+def test_rng_impl_rbg(tmp_path_factory, tiny_dataset_dir):
+    """TRAINING.RNG_IMPL: rbg — the TPU-hardware PRNG path trains and
+    evaluates (threefry mask generation is the biggest non-matmul cost of
+    the XE step, PERF.md)."""
+    import jax
+
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("rbg")
+    cfg = full_config(tmp, tiny_dataset_dir).clone()
+    cfg.TRAINING.RNG_IMPL = "rbg"
+    try:
+        tr = build_trainer(cfg)
+        loss = tr.train()
+        assert np.isfinite(loss)
+        val = tr.evaluate_loss(tr.val_dataloader)
+        assert np.isfinite(val)
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+    cfg = full_config(tmp, tiny_dataset_dir).clone()
+    cfg.TRAINING.RNG_IMPL = "mersenne"
+    with pytest.raises(ValueError, match="RNG_IMPL"):
+        build_trainer(cfg)
