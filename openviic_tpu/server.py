@@ -44,6 +44,8 @@ class _Batcher:
         self.max_wait = max_wait_ms / 1e3
         self.backbone = backbone
         self.grid = grid
+        # observability: batch-fill statistics, exposed on /healthz
+        self.stats = {"batches": 0, "items": 0}
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -101,6 +103,8 @@ class _Batcher:
     def _run(self):
         while True:
             items = self._drain()
+            self.stats["batches"] += 1
+            self.stats["items"] += len(items)
             feature_dicts, futures = [], []
             for kind, payload, fut in items:
                 try:
@@ -148,7 +152,14 @@ class CaptionServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._reply(200, {"status": "ok", "model": model_name})
+                    stats = dict(batcher.stats)
+                    stats["mean_fill"] = round(
+                        stats["items"] / stats["batches"], 2
+                    ) if stats["batches"] else None
+                    self._reply(
+                        200,
+                        {"status": "ok", "model": model_name, "batcher": stats},
+                    )
                 else:
                     self._reply(404, {"error": "not found"})
 

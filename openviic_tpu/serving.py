@@ -58,7 +58,11 @@ class CaptioningPipeline:
         loaded = io.load_checkpoint(path, params, opt_state_template=None)
         if loaded is None:
             raise FileNotFoundError(f"no checkpoint at {path}")
-        self.params = loaded["state"]["params"]
+        # checkpoint restore yields *host* arrays; place them on device once
+        # — otherwise every decode call re-uploads the full parameter set
+        # (~200 MB fp32 at reference scale, measured seconds per batch over
+        # a remote-TPU link)
+        self.params = jax.device_put(loaded["state"]["params"])
         logger.info("Loaded %s (epoch %s)", path, loaded.get("epoch"))
 
         self._decode = {}
@@ -90,6 +94,10 @@ class CaptioningPipeline:
                     beam_size=self.beam_size,
                     out_size=1,
                     compute_dtype=self.compute_dtype,
+                    # beam-resident decode: no per-step cache gathers —
+                    # token-identical to the default path and ~2x faster
+                    # (PERF.md round-2 decode optimisation)
+                    beam_resident=True,
                 )
             )
         return self._decode[key]
@@ -112,7 +120,21 @@ class CaptioningPipeline:
                     longest = max(it[key].shape[0] for it in batch_items)
                     pad_sizes[key] = ((longest + 7) // 8) * 8
             batch = InstanceList(batch_items, pad_sizes=pad_sizes)
-            arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+            # ship feature tensors in the decode's compute dtype — the
+            # kernel casts them anyway, and halving the bytes halves the
+            # host->device transfer on the serving critical path (boxes
+            # keep f32: geometry biases are precision-sensitive)
+            cast = self.compute_dtype
+            arrays = {
+                k: jnp.asarray(
+                    v,
+                    dtype=cast
+                    if cast is not None and k.endswith("_features")
+                    and np.issubdtype(v.dtype, np.floating)
+                    else None,
+                )
+                for k, v in batch.arrays().items()
+            }
             outs, _ = decode(self.params, batch=arrays)
             caps = self.vocab.decode_caption(np.asarray(outs))
             results.extend(caps[: len(chunk)])
