@@ -531,6 +531,13 @@ class BaseTrainer:
             return None
         logger.info("Loaded checkpoint from %s (epoch %s)", fname, loaded.get("epoch"))
         self.state = loaded["state"]
+        # restore yields host arrays; place params/opt_state on device once
+        # — otherwise every post-resume eval decode re-uploads the full
+        # parameter set per batch (the serving layer had the same bug)
+        if self.mesh is None:
+            self.state["params"] = jax.device_put(self.state["params"])
+            if self.state.get("opt_state") is not None:
+                self.state["opt_state"] = jax.device_put(self.state["opt_state"])
         if self.mesh is not None:
             from openviic_tpu.parallel.mesh import shard_state
 
