@@ -45,7 +45,10 @@ class _Batcher:
         self.backbone = backbone
         self.grid = grid
         # observability: batch-fill statistics, exposed on /healthz
+        # (updated and read under a lock so /healthz never sees a batch
+        # counted with its items missing)
         self.stats = {"batches": 0, "items": 0}
+        self._stats_lock = threading.Lock()
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -103,8 +106,9 @@ class _Batcher:
     def _run(self):
         while True:
             items = self._drain()
-            self.stats["batches"] += 1
-            self.stats["items"] += len(items)
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["items"] += len(items)
             feature_dicts, futures = [], []
             for kind, payload, fut in items:
                 try:
@@ -152,7 +156,8 @@ class CaptionServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    stats = dict(batcher.stats)
+                    with batcher._stats_lock:
+                        stats = dict(batcher.stats)
                     stats["mean_fill"] = round(
                         stats["items"] / stats["batches"], 2
                     ) if stats["batches"] else None

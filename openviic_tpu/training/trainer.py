@@ -84,8 +84,13 @@ class BaseTrainer:
         rng_impl = str(config.TRAINING.get("RNG_IMPL", "threefry"))
         if rng_impl not in ("threefry", "rbg", "unsafe_rbg"):
             raise ValueError(f"TRAINING.RNG_IMPL={rng_impl!r} not recognised")
-        if rng_impl != "threefry":
-            jax.config.update("jax_default_prng_impl", rng_impl)
+        # always set (not just on non-default): the flag is process-global,
+        # so a default-config trainer must reset what an earlier rbg
+        # trainer in the same process switched on
+        jax.config.update(
+            "jax_default_prng_impl",
+            "threefry2x32" if rng_impl == "threefry" else rng_impl,
+        )
 
         self.checkpoint_path = os.path.join(
             config.TRAINING.CHECKPOINT_PATH, config.MODEL.NAME

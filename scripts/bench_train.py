@@ -168,7 +168,6 @@ def main() -> None:
     big = 60
     scst_batch = _make_batch(vocab, bs=big, n_regions=50, d_feature=DF)
     scst_batch = {"region_features": scst_batch["region_features"]}
-    globals_ = None  # keep names local
 
     def scst_iter_big():
         nonlocal rl_state
