@@ -1,14 +1,21 @@
-"""Generate a tiny synthetic ViIC-style dataset for smoke runs.
+"""Generate a synthetic ViIC-style dataset for smoke runs and demos.
 
-Writes annotation JSONs + per-image feature ``.npy`` files under
-``tiny_dataset/`` (repo-relative), shaped like the real UIT-OpenViIC
-features (Faster-RCNN regions D=1024, 7x7 grid D=2048)."""
+Writes annotation JSONs + per-image feature ``.npy`` files under the
+given root, shaped like the real UIT-OpenViIC features (Faster-RCNN
+regions D=1024, 7x7 grid D=2048).
+
+``--signal`` embeds each image's caption class as a learnable bias in its
+region features, so a model that actually reads the features generalizes
+to dev/test (random-feature datasets are only memorizable) —
+the mid-scale TPU training demo (PERF.md) uses this mode.
+``--no-grids`` skips the 2048-d grid features (5x smaller on disk) for
+region-only configs."""
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
-import sys
 
 import numpy as np
 
@@ -26,9 +33,23 @@ CAPTIONS = [
 ]
 
 
-def main(root: str = "tiny_dataset", n_images: int = 24, seed: int = 0) -> None:
+def main(
+    root: str = "tiny_dataset",
+    n_images: int = 24,
+    seed: int = 0,
+    signal: bool = False,
+    grids: bool = True,
+) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "features"), exist_ok=True)
+    # caption-class signal vectors (one per caption), mixed into the
+    # region features so the class is recoverable from them; separate rng
+    # so default (no-signal) output is bit-identical to older versions
+    class_vecs = (
+        np.random.default_rng(seed + 10_000)
+        .normal(size=(len(CAPTIONS), 1024))
+        .astype(np.float32)
+    )
 
     ids = list(range(n_images))
     splits = {
@@ -54,11 +75,22 @@ def main(root: str = "tiny_dataset", n_images: int = 24, seed: int = 0) -> None:
         n_regions = int(rng.integers(10, 40))
         boxes = rng.uniform(0, 1, size=(n_regions, 4)).astype(np.float32)
         boxes[:, 2:] = np.minimum(boxes[:, :2] + 0.05 + boxes[:, 2:] * 0.4, 1.0)
+        region = rng.normal(size=(n_regions, 1024)).astype(np.float32)
+        if signal:
+            # both gt captions' classes, at different strengths, so the
+            # dominant one is the decode target and the mapping is
+            # recoverable for held-out images
+            region += 2.0 * class_vecs[i % len(CAPTIONS)]
+            region += 0.5 * class_vecs[(i + 1) % len(CAPTIONS)]
         features = {
-            "region_features": rng.normal(size=(n_regions, 1024)).astype(np.float32),
+            "region_features": region,
             "region_boxes": boxes,
-            "grid_features": rng.normal(size=(49, 2048)).astype(np.float32),
-            "grid_boxes": np.stack(
+        }
+        if grids:
+            features["grid_features"] = rng.normal(size=(49, 2048)).astype(
+                np.float32
+            )
+            features["grid_boxes"] = np.stack(
                 [
                     np.repeat(np.arange(7), 7) / 7,
                     np.tile(np.arange(7), 7) / 7,
@@ -66,11 +98,17 @@ def main(root: str = "tiny_dataset", n_images: int = 24, seed: int = 0) -> None:
                     (np.tile(np.arange(7), 7) + 1) / 7,
                 ],
                 axis=-1,
-            ).astype(np.float32),
-        }
+            ).astype(np.float32)
         np.save(os.path.join(root, "features", f"{i}.npy"), features, allow_pickle=True)
-    print(f"tiny dataset written to {root}/ ({n_images} images)")
+    print(f"synthetic dataset written to {root}/ ({n_images} images)")
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:2] or ["tiny_dataset"]))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("root", nargs="?", default="tiny_dataset")
+    ap.add_argument("--n-images", type=int, default=24)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--signal", action="store_true")
+    ap.add_argument("--no-grids", dest="grids", action="store_false")
+    a = ap.parse_args()
+    main(a.root, a.n_images, a.seed, signal=a.signal, grids=a.grids)
