@@ -21,8 +21,10 @@ nested scan at dataset.py:31-35).
 
 from __future__ import annotations
 
+import collections
 import json
 import os
+import threading
 from typing import Any, Dict, List
 
 import numpy as np
@@ -32,12 +34,35 @@ from openviic_tpu.data.preprocess import preprocess_caption
 
 
 class _FeatureSource:
-    """Loads per-image `.npy` feature dicts, converting to float32 arrays."""
+    """Loads per-image `.npy` feature dicts, converting to float32 arrays.
 
-    def __init__(self, features_path: str):
+    ``cache_size`` > 0 keeps that many parsed dicts in an LRU (shared per
+    features directory, so the six trainer datasets over one directory
+    share hits).  Re-parsing every ``.npy`` each epoch is a measurable
+    share of step time on weak hosts (PERF.md input-pipeline note);
+    ``DATASET.CACHE_FEATURES: N`` bounds host RAM at ~N x feature-dict
+    size.  Cached arrays are returned as-is — callers must not mutate."""
+
+    _shared: Dict[tuple, "collections.OrderedDict"] = {}
+
+    def __init__(self, features_path: str, cache_size: int = 0):
         self.features_path = features_path
+        self.cache_size = int(cache_size or 0)
+        if self.cache_size > 0:
+            key = (os.path.abspath(features_path), self.cache_size)
+            self._cache, self._lock = _FeatureSource._shared.setdefault(
+                key, (collections.OrderedDict(), threading.Lock())
+            )
+        else:
+            self._cache = None
 
     def load(self, image_id: int) -> Dict[str, Any]:
+        if self._cache is not None:
+            with self._lock:
+                hit = self._cache.get(image_id)
+                if hit is not None:
+                    self._cache.move_to_end(image_id)
+                    return hit
         feature_file = os.path.join(self.features_path, f"{image_id}.npy")
         features = np.load(feature_file, allow_pickle=True)[()]
         out = {}
@@ -46,6 +71,11 @@ class _FeatureSource:
             if arr.dtype in (np.float64, np.float16):
                 arr = arr.astype(np.float32)
             out[key] = arr
+        if self._cache is not None:
+            with self._lock:
+                self._cache[image_id] = out
+                while len(self._cache) > self.cache_size:
+                    self._cache.popitem(last=False)
         return out
 
 
@@ -57,7 +87,9 @@ class FeatureDataset:
             json_data = json.load(f)
         self.vocab = vocab
         self.annotations = self.load_json(json_data)
-        self.features = _FeatureSource(config.FEATURE_PATH.FEATURES)
+        self.features = _FeatureSource(
+            config.FEATURE_PATH.FEATURES, config.get("CACHE_FEATURES", 0)
+        )
 
     def load_json(self, json_data: Dict) -> List[Dict]:
         id_to_filename = {img["id"]: img["file_name"] for img in json_data["images"]}
@@ -107,7 +139,9 @@ class DictionaryDataset:
         self.image_ids, self.filenames, self.captions_with_image = self.load_json(
             json_data
         )
-        self.features = _FeatureSource(config.FEATURE_PATH.FEATURES)
+        self.features = _FeatureSource(
+            config.FEATURE_PATH.FEATURES, config.get("CACHE_FEATURES", 0)
+        )
 
     def load_json(self, json_data: Dict):
         examples: Dict[int, List[str]] = {}

@@ -14,7 +14,6 @@ trainers/base_trainer.py:40-80) with a numpy pipeline designed for XLA:
 
 from __future__ import annotations
 
-import collections
 import queue
 import threading
 from typing import Callable, Dict, Iterable, Iterator, Optional
@@ -24,28 +23,40 @@ import numpy as np
 from openviic_tpu.data.instance import InstanceList
 
 
+_PREFETCH_END = object()
+
+
 def device_prefetch(
     iterable: Iterable, convert: Callable, depth: int = 2
 ) -> Iterator:
     """Keep ``depth`` converted (device-resident) items ahead of the consumer.
 
-    ``jax.device_put`` is asynchronous, so converting upcoming host batches
-    early overlaps their H2D transfer with the device compute on the
-    current batch (double buffering for ``depth=2``).  ``convert`` maps a
-    host item to device arrays (e.g. the trainer's ``_device_batch``)."""
-    buf: "collections.deque" = collections.deque()
-    it = iter(iterable)
-    try:
-        for _ in range(max(depth, 1)):
-            buf.append(convert(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        out = buf.popleft()
+    ``convert`` (host batch -> device arrays, e.g. the trainer's
+    ``_device_batch``) runs in a background thread with a bounded queue, so
+    BOTH the host-side conversion work and the async H2D transfer overlap
+    the consumer's device waits — an inline lookahead only overlaps the
+    transfer, and on a single-core host the conversion itself is a large
+    share of step time.  Exceptions from the producer (dataset IO or
+    convert) re-raise in the consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    err = []
+
+    def producer():
         try:
-            buf.append(convert(next(it)))
-        except StopIteration:
-            pass
+            for item in iterable:
+                q.put(convert(item))
+        except BaseException as e:  # propagate, incl. KeyboardInterrupt
+            err.append(e)
+        finally:
+            q.put(_PREFETCH_END)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        out = q.get()
+        if out is _PREFETCH_END:
+            if err:
+                raise err[0]
+            return
         yield out
 
 

@@ -110,3 +110,30 @@ def test_device_prefetch_stays_ahead():
     consumed.append(first)
     # after yielding item 0 the prefetcher has converted up to item 2
     assert converted == [0, 1, 2]
+
+
+def test_feature_cache_lru(tmp_path):
+    """DATASET.CACHE_FEATURES: bounded LRU over parsed .npy dicts, shared
+    per features directory."""
+    import numpy as np
+
+    from openviic_tpu.data.datasets import _FeatureSource
+
+    d = tmp_path / "feats"
+    d.mkdir()
+    for i in range(5):
+        np.save(d / f"{i}.npy", {"region_features": np.full((2, 3), i, np.float32)},
+                allow_pickle=True)
+
+    src = _FeatureSource(str(d), cache_size=2)
+    a = src.load(0)
+    assert src.load(0) is a  # cache hit returns the same parsed dict
+    src.load(1)
+    src.load(2)  # evicts 0 (LRU bound = 2)
+    assert src.load(0) is not a
+    # second source over the same dir shares the cache
+    src2 = _FeatureSource(str(d), cache_size=2)
+    assert src2.load(0) is src.load(0)
+    # uncached source re-parses every time
+    plain = _FeatureSource(str(d))
+    assert plain.load(3) is not plain.load(3)
