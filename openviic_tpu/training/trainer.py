@@ -308,7 +308,6 @@ class BaseTrainer:
 
     # -- phases ----------------------------------------------------------
     def train(self) -> float:
-        running_loss = 0.0
         n = 0
         t0 = time.time()
         timer = StepTimer()
@@ -320,12 +319,19 @@ class BaseTrainer:
             self.train_dataloader,
             lambda items: (items.batch_size, _device_batch(items, self.mesh)),
         )
+        # track the global step host-side: int(state["step"]) / float(loss)
+        # would block on the device every iteration, forfeiting the
+        # pipelining that async dispatch + the prefetch thread buy — losses
+        # stay device arrays and are materialised once at epoch end (or at
+        # log points)
+        step = int(self.state["step"])
+        losses = []
         for bs_items, batch in batches:
             self.state, loss = self.xe_step(self.state, batch)
-            running_loss += float(loss)
+            losses.append(loss)
             n += 1
+            step += 1
             timer.update(bs_items)
-            step = int(self.state["step"])
             if self.profiler is not None:
                 self.profiler.step(step)
             if step % self.log_every == 0:
@@ -339,6 +345,7 @@ class BaseTrainer:
                     },
                     prefix="train/",
                 )
+        running_loss = float(np.sum(np.asarray(losses, dtype=np.float64)))
         dt = time.time() - t0
         avg = running_loss / max(n, 1)
         logger.info(
