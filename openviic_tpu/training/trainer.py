@@ -564,6 +564,40 @@ class BaseTrainer:
     def start(self, max_epochs: Optional[int] = None) -> None:
         last = os.path.join(self.checkpoint_path, self._ckpt_io.LAST_NAME)
         best_file = os.path.join(self.checkpoint_path, self._ckpt_io.BEST_NAME)
+
+        # graceful preemption: on SIGTERM/SIGINT finish the current epoch,
+        # write the regular checkpoint, and exit — a preempted job resumes
+        # exactly like a crashed one (auto-resume from last_model), losing
+        # at most the in-flight epoch.  A second signal restores the
+        # default handlers so a repeat kill is immediate.
+        import signal as _signal
+
+        self._stop_requested = False
+        prev_handlers = {}
+
+        def _request_stop(signum, frame):
+            if self._stop_requested:
+                for s, h in prev_handlers.items():
+                    _signal.signal(s, h)
+                raise KeyboardInterrupt
+            self._stop_requested = True
+            logger.info(
+                "Signal %s: will checkpoint and exit after this epoch",
+                signum,
+            )
+
+        try:
+            for sig in (_signal.SIGTERM, _signal.SIGINT):
+                prev_handlers[sig] = _signal.signal(sig, _request_stop)
+        except ValueError:
+            prev_handlers = {}  # not the main thread (e.g. under a server)
+        try:
+            self._start_loop(max_epochs, last, best_file)
+        finally:
+            for sig, h in prev_handlers.items():
+                _signal.signal(sig, h)
+
+    def _start_loop(self, max_epochs, last, best_file) -> None:
         loaded = self.load_checkpoint(last)
         if loaded is not None:
             use_rl = loaded["use_rl"]
@@ -639,6 +673,10 @@ class BaseTrainer:
             if best:
                 self._ckpt_io.copy(last, best_file)
 
+            if self._stop_requested:
+                self._ckpt_io.wait()
+                logger.info("Preemption checkpoint written; exiting training loop")
+                break
             if exit_train:
                 break
             self.epoch += 1

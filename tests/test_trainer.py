@@ -406,3 +406,31 @@ def test_rng_impl_rbg(tmp_path_factory, tiny_dataset_dir):
     cfg.TRAINING.RNG_IMPL = "mersenne"
     with pytest.raises(ValueError, match="RNG_IMPL"):
         build_trainer(cfg)
+
+
+def test_graceful_preemption_checkpoint(tmp_path_factory, tiny_dataset_dir):
+    """SIGTERM mid-epoch: the loop finishes the epoch, writes the regular
+    checkpoint, and exits; resume picks up from it."""
+    import os as _os
+    import signal as _signal
+
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("preempt")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    tr = build_trainer(cfg)
+
+    orig_train = tr.train
+
+    def train_and_signal():
+        out = orig_train()
+        _os.kill(_os.getpid(), _signal.SIGTERM)
+        return out
+
+    tr.train = train_and_signal
+    tr.start(max_epochs=5)  # would run 5 epochs if not preempted
+    assert tr.epoch == 0  # stopped after the first (signalled) epoch
+    ckpt = _os.path.join(tr.checkpoint_path, tr._ckpt_io.LAST_NAME)
+    assert _os.path.exists(ckpt)
+    # handlers restored
+    assert _signal.getsignal(_signal.SIGTERM) == _signal.SIG_DFL
