@@ -43,16 +43,27 @@ class _FeatureSource:
     ``DATASET.CACHE_FEATURES: N`` bounds host RAM at ~N x feature-dict
     size.  Cached arrays are returned as-is — callers must not mutate."""
 
-    _shared: Dict[tuple, "collections.OrderedDict"] = {}
+    _shared: Dict[str, dict] = {}
 
     def __init__(self, features_path: str, cache_size: int = 0):
         self.features_path = features_path
-        self.cache_size = int(cache_size or 0)
-        if self.cache_size > 0:
-            key = (os.path.abspath(features_path), self.cache_size)
-            self._cache, self._lock = _FeatureSource._shared.setdefault(
-                key, (collections.OrderedDict(), threading.Lock())
+        cache_size = int(cache_size or 0)
+        if cache_size > 0:
+            # keyed by directory alone: sources with different configured
+            # sizes share one cache bounded by the largest request, so RAM
+            # stays at ~max(N) x dict size rather than the sum
+            shared = _FeatureSource._shared.setdefault(
+                os.path.abspath(features_path),
+                {
+                    "cache": collections.OrderedDict(),
+                    "lock": threading.Lock(),
+                    "size": 0,
+                },
             )
+            shared["size"] = max(shared["size"], cache_size)
+            self._shared_entry = shared
+            self._cache = shared["cache"]
+            self._lock = shared["lock"]
         else:
             self._cache = None
 
@@ -74,7 +85,7 @@ class _FeatureSource:
         if self._cache is not None:
             with self._lock:
                 self._cache[image_id] = out
-                while len(self._cache) > self.cache_size:
+                while len(self._cache) > self._shared_entry["size"]:
                     self._cache.popitem(last=False)
         return out
 

@@ -26,6 +26,51 @@ from openviic_tpu.data.instance import InstanceList
 _PREFETCH_END = object()
 
 
+def _threaded_prefetch(items: Iterable, fn: Callable, depth: int) -> Iterator:
+    """Yield ``fn(item)`` for each item, computed up to ``depth`` ahead in a
+    background thread.
+
+    The single producer/consumer implementation behind both
+    ``DataLoader.__iter__`` (host batch assembly) and ``device_prefetch``
+    (H2D conversion).  Exceptions are delivered to the consumer in stream
+    order; abandoning the iterator (an error in the consuming loop, or a
+    preemption KeyboardInterrupt) unblocks and stops the producer instead
+    of leaking a thread pinned on a full queue."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
+
+    def _put(obj) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer() -> None:
+        try:
+            for item in items:
+                if not _put(fn(item)):
+                    return
+        except BaseException as e:  # propagate, incl. KeyboardInterrupt
+            _put(e)
+        finally:
+            _put(_PREFETCH_END)
+
+    threading.Thread(target=producer, daemon=True).start()
+    try:
+        while True:
+            out = q.get()
+            if out is _PREFETCH_END:
+                return
+            if isinstance(out, BaseException):
+                raise out
+            yield out
+    finally:
+        stop.set()
+
+
 def device_prefetch(
     iterable: Iterable, convert: Callable, depth: int = 2
 ) -> Iterator:
@@ -36,28 +81,8 @@ def device_prefetch(
     BOTH the host-side conversion work and the async H2D transfer overlap
     the consumer's device waits — an inline lookahead only overlaps the
     transfer, and on a single-core host the conversion itself is a large
-    share of step time.  Exceptions from the producer (dataset IO or
-    convert) re-raise in the consumer."""
-    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
-    err = []
-
-    def producer():
-        try:
-            for item in iterable:
-                q.put(convert(item))
-        except BaseException as e:  # propagate, incl. KeyboardInterrupt
-            err.append(e)
-        finally:
-            q.put(_PREFETCH_END)
-
-    threading.Thread(target=producer, daemon=True).start()
-    while True:
-        out = q.get()
-        if out is _PREFETCH_END:
-            if err:
-                raise err[0]
-            return
-        yield out
+    share of step time."""
+    return _threaded_prefetch(iterable, convert, depth)
 
 
 def _round_up(n: int, multiple: int) -> int:
@@ -142,24 +167,4 @@ class DataLoader:
                 yield self._make_batch(idxs)
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-
-        def producer() -> None:
-            try:
-                for idxs in batches:
-                    q.put(self._make_batch(idxs))
-            except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
-            finally:
-                q.put(sentinel)
-
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        yield from _threaded_prefetch(batches, self._make_batch, self.prefetch)

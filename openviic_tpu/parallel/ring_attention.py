@@ -51,6 +51,10 @@ def current_ring_context() -> Optional[RingContext]:
     return _RING_CTX.get()
 
 
+#: incremented each time ``ring_self_attention`` is traced (see its body)
+DISPATCH_STATS = {"traces": 0}
+
+
 @contextlib.contextmanager
 def ring_attention(mesh: Mesh, seq_axis: str = "seq",
                    batch_axis: Optional[str] = None):
@@ -177,6 +181,10 @@ def ring_self_attention(
 
     Returns (batch, n, heads, head_dim_v), fp-accumulated in f32.
     """
+    # trace-time dispatch counter: lets callers (e.g. the multi-chip
+    # dryrun) assert the ring path was actually taken rather than a dense
+    # fallback having silently served the shapes
+    DISPATCH_STATS["traces"] += 1
     if scale is None:
         scale = 1.0 / float(q.shape[-1]) ** 0.5
     n = q.shape[1]

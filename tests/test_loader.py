@@ -96,20 +96,50 @@ def test_device_prefetch_preserves_order_and_count():
 
 
 def test_device_prefetch_stays_ahead():
+    import time
+
     from openviic_tpu.data.loader import device_prefetch
 
     converted = []
-    consumed = []
 
     def convert(x):
         converted.append(x)
         return x
 
     gen = device_prefetch(range(5), convert, depth=2)
-    first = next(gen)
-    consumed.append(first)
-    # after yielding item 0 the prefetcher has converted up to item 2
-    assert converted == [0, 1, 2]
+    assert next(gen) == 0
+    # the background producer runs ahead of the consumer...
+    deadline = time.time() + 5
+    while len(converted) < 3 and time.time() < deadline:
+        time.sleep(0.005)
+    assert converted[:3] == [0, 1, 2]
+    # ...but no further than the queue bound (+1 in flight)
+    assert len(converted) <= 4
+    assert list(gen) == [1, 2, 3, 4]
+    assert converted == [0, 1, 2, 3, 4]
+
+
+def test_device_prefetch_abandonment_stops_producer():
+    """Dropping the iterator mid-stream unblocks the producer thread
+    instead of leaking it pinned on a full queue."""
+    import time
+
+    from openviic_tpu.data.loader import device_prefetch
+
+    converted = []
+
+    def convert(x):
+        converted.append(x)
+        return x
+
+    gen = device_prefetch(range(1000), convert, depth=2)
+    next(gen)
+    gen.close()  # abandon
+    time.sleep(0.5)
+    n = len(converted)
+    time.sleep(0.3)
+    assert len(converted) == n  # producer stopped
+    assert n < 10
 
 
 def test_feature_cache_lru(tmp_path):
