@@ -434,3 +434,44 @@ def test_graceful_preemption_checkpoint(tmp_path_factory, tiny_dataset_dir):
     assert _os.path.exists(ckpt)
     # handlers restored
     assert _signal.getsignal(_signal.SIGTERM) == _signal.SIG_DFL
+
+
+def test_rbg_checkpoint_resume_roundtrip(tmp_path_factory, tiny_dataset_dir):
+    """RNG_IMPL rbg keys ((4,) uint32) survive checkpoint save/restore and
+    the resumed trainer keeps training."""
+    import jax
+
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("rbgresume")
+    cfg = full_config(tmp, tiny_dataset_dir).clone()
+    cfg.TRAINING.RNG_IMPL = "rbg"
+    try:
+        tr = build_trainer(cfg)
+        tr.start(max_epochs=1)
+
+        tr2 = build_trainer(cfg)
+        loaded = tr2.load_checkpoint(
+            os.path.join(tr2.checkpoint_path, tr2._ckpt_io.LAST_NAME)
+        )
+        assert loaded is not None and loaded["epoch"] == 0
+        loss = tr2.train()
+        assert np.isfinite(loss)
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+def test_grain_loader_with_max_regions(tmp_path_factory, tiny_dataset_dir):
+    """DATASET.LOADER grain + DATASET.MAX_REGIONS compose: grain batches
+    come out at the pinned static shape."""
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("grainmax")
+    cfg = full_config(tmp, tiny_dataset_dir).clone()
+    cfg.DATASET.LOADER = "grain"
+    cfg.DATASET.MAX_REGIONS = 48
+    tr = build_trainer(cfg)
+    batch = next(iter(tr.train_dataloader))
+    assert batch["region_features"].shape[1] == 48
+    loss = tr.train()
+    assert np.isfinite(loss)
