@@ -399,18 +399,27 @@ class BaseTrainer:
     def train_scst(self) -> float:
         self._ensure_scst()
         beam = self.training_beam_size
-        running_loss = running_reward = 0.0
         n = 0
-        for items in self.train_dict_dataloader:
-            batch = _device_batch(items)
+        losses, rewards = [], []
+        from openviic_tpu.data.loader import device_prefetch
+
+        step = int(self.state["step"])
+        pairs = device_prefetch(
+            self.train_dict_dataloader,
+            lambda items: (items, _device_batch(items)),
+        )
+        for items, batch in pairs:
             outs, _ = self.beam_searcher(
                 self.state["params"], batch, beam_size=beam, out_size=beam
             )
             bs = outs.shape[0]
             sampled_dev = outs.reshape(bs * beam, -1)
-            sampled = np.asarray(sampled_dev)
 
             if self.device_reward is not None:
+                # fully on-device iteration: sample -> reward -> grad step
+                # with no host round-trip (the sampled tokens never leave
+                # the device), so the next batch's decode dispatches while
+                # this one's grad step runs
                 refs = list(items["captions"])
                 n_ref_max = max(len(r) for r in refs)
                 r_max = max(
@@ -425,6 +434,7 @@ class BaseTrainer:
                     beam_size=beam,
                 ).reshape(bs, beam)
             else:
+                sampled = np.asarray(sampled_dev)
                 caps_gen = self.vocab.decode_caption(sampled, join_words=True)
                 caps_gt = list(
                     itertools.chain(*([a] * beam for a in items["captions"]))
@@ -438,12 +448,12 @@ class BaseTrainer:
                 reward = jnp.asarray(reward.reshape(bs, beam))
 
             self.state, loss = self.scst_step(
-                self.state, batch, jnp.asarray(sampled), reward
+                self.state, batch, sampled_dev, reward
             )
-            running_loss += float(loss)
-            running_reward += float(reward.mean())
+            losses.append(loss)
+            rewards.append(reward.mean())
             n += 1
-            step = int(self.state["step"])
+            step += 1
             if step % self.log_every == 0:
                 self.metrics.log(
                     step,
@@ -454,6 +464,8 @@ class BaseTrainer:
                     },
                     prefix="train/",
                 )
+        running_loss = float(np.sum(np.asarray(losses, dtype=np.float64)))
+        running_reward = float(np.sum(np.asarray(rewards, dtype=np.float64)))
         avg = running_loss / max(n, 1)
         logger.info(
             "Epoch %d - SCST loss %.4f reward %.4f", self.epoch, avg,
@@ -465,13 +477,12 @@ class BaseTrainer:
     def evaluate_loss(self, dataloader: DataLoader) -> float:
         from openviic_tpu.data.loader import device_prefetch
 
-        running_loss = 0.0
-        n = 0
+        losses = []
         for batch in device_prefetch(dataloader, _device_batch):
-            loss = self.eval_step(self.state["params"], batch)
-            running_loss += float(loss)
-            n += 1
-        val_loss = running_loss / max(n, 1)
+            losses.append(self.eval_step(self.state["params"], batch))
+        val_loss = float(
+            np.mean(np.asarray(losses, dtype=np.float64))
+        ) if losses else 0.0
         logger.info("Epoch %d - validation loss %.4f", self.epoch, val_loss)
         return val_loss
 
