@@ -36,7 +36,9 @@ HEADS = 8
 LAYERS = 3
 D_FF = 2048
 
-JAX_BATCH = 64  # images per decode batch on TPU
+JAX_BATCH = 96  # images per decode batch on TPU (throughput peak — the
+# batch-scaling diagnostic in PERF.md measures ~flat per-image cost with
+# a maximum at 96)
 TORCH_BATCH = 12  # reference DICT_BATCH_SIZE 60 // beam 5 (base_trainer.py:65)
 
 
