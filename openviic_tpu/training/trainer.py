@@ -39,7 +39,7 @@ import numpy as np
 
 from openviic_tpu.builders import META_TRAINER, build_model
 from openviic_tpu.data.datasets import DictionaryDataset, FeatureDataset
-from openviic_tpu.data.loader import DataLoader
+from openviic_tpu.data.loader import DataLoader, device_prefetch
 from openviic_tpu.data.vocab import Vocab
 from openviic_tpu.decoding import BeamSearcher
 from openviic_tpu.evaluation import Cider, PTBTokenizer, compute_scores
@@ -313,8 +313,6 @@ class BaseTrainer:
         timer = StepTimer()
         # device prefetch: device_put the next batches while the current
         # step computes (H2D transfer overlaps device compute)
-        from openviic_tpu.data.loader import device_prefetch
-
         batches = device_prefetch(
             self.train_dataloader,
             lambda items: (items.batch_size, _device_batch(items, self.mesh)),
@@ -331,6 +329,8 @@ class BaseTrainer:
             losses.append(loss)
             n += 1
             step += 1
+            if n % 16 == 0:
+                loss.block_until_ready()  # bound dispatch run-ahead
             timer.update(bs_items)
             if self.profiler is not None:
                 self.profiler.step(step)
@@ -399,10 +399,7 @@ class BaseTrainer:
     def train_scst(self) -> float:
         self._ensure_scst()
         beam = self.training_beam_size
-        n = 0
         losses, rewards = [], []
-        from openviic_tpu.data.loader import device_prefetch
-
         step = int(self.state["step"])
         pairs = device_prefetch(
             self.train_dict_dataloader,
@@ -452,8 +449,9 @@ class BaseTrainer:
             )
             losses.append(loss)
             rewards.append(reward.mean())
-            n += 1
             step += 1
+            if len(losses) % 8 == 0:
+                loss.block_until_ready()  # bound dispatch run-ahead
             if step % self.log_every == 0:
                 self.metrics.log(
                     step,
@@ -464,6 +462,7 @@ class BaseTrainer:
                     },
                     prefix="train/",
                 )
+        n = len(losses)
         running_loss = float(np.sum(np.asarray(losses, dtype=np.float64)))
         running_reward = float(np.sum(np.asarray(rewards, dtype=np.float64)))
         avg = running_loss / max(n, 1)
@@ -475,11 +474,14 @@ class BaseTrainer:
 
     # -- evaluation ------------------------------------------------------
     def evaluate_loss(self, dataloader: DataLoader) -> float:
-        from openviic_tpu.data.loader import device_prefetch
-
         losses = []
         for batch in device_prefetch(dataloader, _device_batch):
             losses.append(self.eval_step(self.state["params"], batch))
+            if len(losses) % 8 == 0:
+                # periodic backpressure: without any sync the host can
+                # dispatch the whole loader ahead of the device, pinning
+                # every in-flight batch in HBM
+                losses[-1].block_until_ready()
         val_loss = float(
             np.mean(np.asarray(losses, dtype=np.float64))
         ) if losses else 0.0
