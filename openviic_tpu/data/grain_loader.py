@@ -97,9 +97,11 @@ class GrainDataLoader:
         self.epoch = 0
 
     def _shard_len(self) -> int:
-        n = len(self.dataset)
-        # shuffle-then-slice: shard i takes indices i, i+count, i+2*count, …
-        return (n - self.shard_index + self.shard_count - 1) // self.shard_count
+        # Every shard is truncated to n // shard_count elements so all
+        # hosts yield IDENTICAL batch counts — unequal shard lengths make
+        # hosts run different step counts, which deadlocks the gradient
+        # collectives / checkpoint barriers in multi-host data parallel.
+        return len(self.dataset) // self.shard_count
 
     def __len__(self) -> int:
         n = self._shard_len()
@@ -116,7 +118,10 @@ class GrainDataLoader:
             # loader so trainer resume realignment works unchanged
             ds = ds.shuffle(seed=self.seed + epoch)
         if self.shard_count > 1:
-            ds = ds.slice(slice(self.shard_index, None, self.shard_count))
+            # equal-length shards (see _shard_len): stop at the last index
+            # that keeps every shard at exactly n // shard_count elements
+            stop = self._shard_len() * self.shard_count
+            ds = ds.slice(slice(self.shard_index, stop, self.shard_count))
         ds = ds.batch(
             self.batch_size,
             drop_remainder=self.drop_last,

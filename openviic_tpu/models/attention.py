@@ -67,7 +67,15 @@ def _ring_dispatch(q, k, v, d_k, mask, bias):
     """Sequence-parallel path: inside a ``parallel.ring_attention`` context,
     bidirectional self-attention (nq == nk, query-independent mask) runs as
     a K/V ring over the mesh's sequence axis.  Returns None when not
-    eligible (decoder causal/cached attention, indivisible lengths)."""
+    eligible (decoder causal/cached attention, per-head masks, indivisible
+    lengths).
+
+    NOTE: the context is consulted at TRACE time only, and ``jax.jit``
+    caches are not keyed on it.  A function first traced outside the
+    context keeps the dense path even when later called inside it (and
+    vice versa) — create/trace jitted functions *inside* the context, and
+    assert the taken path via ``parallel.ring_attention.DISPATCH_STATS``
+    (the driver dryrun does exactly this)."""
     from openviic_tpu.parallel.ring_attention import (
         current_ring_context,
         ring_self_attention,
@@ -81,6 +89,9 @@ def _ring_dispatch(q, k, v, d_k, mask, bias):
         nq != nk
         or nq % ctx.mesh.shape[ctx.seq_axis] != 0
         or (mask is not None and mask.shape[2] != 1)
+        # per-head masks (bs, h, 1, nk) cannot collapse to a key mask —
+        # taking head 0 would silently drop heads 1..h-1 (ADVICE r2)
+        or (mask is not None and mask.shape[1] != 1)
     ):
         return None
     key_mask = mask[:, 0, 0, :] if mask is not None else None

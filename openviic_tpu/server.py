@@ -6,8 +6,11 @@ module puts a production-shaped HTTP surface on it:
 
  - ``POST /caption``        body: raw image bytes (any PIL-readable
                             format) -> ``{"caption": "..."}``
- - ``POST /caption_features`` body: ``.npy``-style payload serialised with
-                            ``np.save`` (a feature dict) -> caption
+ - ``POST /caption_features`` body: ``.npz`` archive of plain arrays
+                            (``np.savez(buf, **feature_dict)``) -> caption.
+                            Pickled payloads are rejected: the body comes
+                            from an untrusted network peer, and unpickling
+                            it would be remote code execution.
  - ``GET /healthz``         liveness + model name
 
 Requests are funnelled through a **micro-batching** worker: concurrent
@@ -72,8 +75,16 @@ class _Batcher:
 
     def _feature_dict(self, kind: str, payload):
         if kind == "features":
-            data = np.load(io.BytesIO(payload), allow_pickle=True)[()]
-            return {k: np.asarray(v, np.float32) for k, v in data.items()}
+            # Untrusted HTTP body: never allow_pickle (arbitrary code
+            # execution).  The wire format is a .npz archive of plain
+            # arrays; np.load returns an NpzFile we rebuild a dict from.
+            data = np.load(io.BytesIO(payload), allow_pickle=False)
+            if not hasattr(data, "files"):
+                raise ValueError(
+                    "expected a .npz archive (np.savez of plain arrays); "
+                    "bare/pickled .npy payloads are not accepted"
+                )
+            return {k: np.asarray(data[k], np.float32) for k in data.files}
         # kind == "image": raw bytes -> extraction backbone
         from PIL import Image
 

@@ -623,9 +623,13 @@ class BaseTrainer:
             self.epoch = loaded["epoch"] + 1
             # deterministic resume: realign the shuffle stream with where an
             # uninterrupted run would be (loader epoch counter is not part
-            # of the checkpoint; SURVEY.md §5 failure-recovery semantics)
-            self.train_dataloader.epoch = self.epoch + 1
-            self.train_dict_dataloader.epoch = self.epoch + 1
+            # of the checkpoint; SURVEY.md §5 failure-recovery semantics).
+            # The loader's counter increments on each __iter__, so after an
+            # uninterrupted epoch e it sits at e+1 == self.epoch — assign
+            # self.epoch directly (ADVICE r2: the old +1 skipped one
+            # permutation and permanently diverged the shuffle stream).
+            self.train_dataloader.epoch = self.epoch
+            self.train_dict_dataloader.epoch = self.epoch
             if use_rl:
                 # resuming mid-SCST: the loaded opt_state is already the
                 # RL optimizer's — do not reinitialise it

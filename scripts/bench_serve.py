@@ -115,7 +115,7 @@ def _feature_payload(seed: int) -> bytes:
         "region_features": rng.normal(size=(N_REGIONS, DF)).astype(np.float32)
     }
     buf = io.BytesIO()
-    np.save(buf, payload, allow_pickle=True)
+    np.savez(buf, **payload)
     return buf.getvalue()
 
 

@@ -5,7 +5,13 @@ Usage:
       [--port 8080] [--beam 3] [--batch 32] [--backbone patch|hf:<model>]
 
 Endpoints: POST /caption (raw image bytes), POST /caption_features
-(np.save'd feature dict), GET /healthz.  See openviic_tpu/server.py.
+(np.savez archive of plain arrays), GET /healthz.  See
+openviic_tpu/server.py.
+
+Trust boundary: the server binds 127.0.0.1 by default.  Pass
+--host 0.0.0.0 only behind an authenticating proxy — request bodies are
+untrusted and are parsed with pickle disabled, but there is no built-in
+auth/rate limiting.
 """
 
 from __future__ import annotations
@@ -20,7 +26,8 @@ from openviic_tpu.server import CaptionServer
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--config-file", required=True)
-    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address; 0.0.0.0 only behind a trusted proxy")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--beam", type=int, default=None)
     ap.add_argument("--batch", type=int, default=32)

@@ -56,15 +56,44 @@ def test_sharding_partitions_epoch(tiny_dataset_dir, tiny_vocab):
         )
         for i in range(2)
     ]
-    seen = []
+    seen, per_shard = [], []
     for ld in shards:
+        count = 0
         for batch in ld:
-            seen.extend(np.asarray(batch.arrays()["caption_tokens"]).tolist())
-    # together the shards cover the whole epoch exactly once
-    assert len(seen) == n
+            toks = np.asarray(batch.arrays()["caption_tokens"]).tolist()
+            seen.extend(toks)
+            count += len(toks)
+        per_shard.append(count)
+    # every shard yields the SAME number of elements (multi-host hosts must
+    # run identical step counts or collectives deadlock); together they
+    # cover the truncated epoch exactly once, no duplicates
+    assert per_shard[0] == per_shard[1] == n // 2
+    assert len(seen) == (n // 2) * 2
     full = GrainDataLoader(ds, batch_size=n, shuffle=True, seed=3)
     all_tokens = np.asarray(next(iter(full)).arrays()["caption_tokens"]).tolist()
-    assert sorted(map(tuple, seen)) == sorted(map(tuple, all_tokens))
+    seen_sorted = sorted(map(tuple, seen))
+    assert all(t in sorted(map(tuple, all_tokens)) for t in seen_sorted)
+
+
+def test_sharding_equal_batch_counts_when_uneven(tiny_dataset_dir, tiny_vocab):
+    """ADVICE r2: n=101-style uneven shards must not yield different
+    per-host batch counts (grad-collective deadlock in multi-host DP)."""
+    from openviic_tpu.data.grain_loader import GrainDataLoader
+
+    ds = _feature_dataset(tiny_dataset_dir, tiny_vocab)
+    n = len(ds)
+    counts, lens = [], []
+    for i in range(4):
+        ld = GrainDataLoader(
+            ds, batch_size=2, drop_last=True, shuffle=True, seed=7,
+            shard_index=i, shard_count=4,
+        )
+        batches = list(ld)
+        counts.append(len(batches))
+        lens.append(len(ld))
+    assert len(set(counts)) == 1, f"unequal per-host batch counts: {counts}"
+    assert counts == lens
+    assert counts[0] == (n // 4) // 2
 
 
 def test_collation_matches_native_loader(tiny_dataset_dir, tiny_vocab):

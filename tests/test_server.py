@@ -77,9 +77,20 @@ def test_caption_features(server):
         ),
     }
     buf = io.BytesIO()
-    np.save(buf, payload, allow_pickle=True)
+    np.savez(buf, **payload)
     data = _post(server.port, "/caption_features", buf.getvalue())
     assert isinstance(data["caption"], str)
+
+
+def test_pickled_payload_rejected(server):
+    # the old np.save(dict) wire format required unpickling on the server
+    # (remote code execution from a network peer); it must now be a 400
+    payload = {"grid_features": np.zeros((4, 11), np.float32)}
+    buf = io.BytesIO()
+    np.save(buf, payload, allow_pickle=True)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/caption_features", buf.getvalue())
+    assert e.value.code == 400
 
 
 def test_concurrent_requests_batched(server):

@@ -113,6 +113,41 @@ def test_full_start_loop_and_predictions(tmp_path_factory, tiny_dataset_dir):
     assert resumed["epoch"] == 2
 
 
+def test_resume_shuffle_stream_matches_uninterrupted(
+    tmp_path_factory, tiny_dataset_dir
+):
+    """ADVICE r2: after resuming past completed epoch e, the loader must
+    replay permutation e+1 — exactly where an uninterrupted run would be
+    (the old realignment set e+2, permanently diverging the stream)."""
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("resume_shuffle")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    tr = build_trainer(cfg)
+    tr.start(max_epochs=1)  # completes epoch 0; loader counter now at 1
+
+    # what an uninterrupted run trains next: permutation for epoch 1
+    probe = build_trainer(cfg)
+    probe.train_dataloader.epoch = 1
+    expected = [
+        np.asarray(b.arrays()["caption_tokens"]).tolist()
+        for b in probe.train_dataloader
+    ]
+
+    # drive just the realignment: load + set epochs as _start_loop does
+    tr2 = build_trainer(cfg)
+    loaded = tr2.load_checkpoint(
+        os.path.join(tr2.checkpoint_path, "last_model.ckpt")
+    )
+    tr2.epoch = loaded["epoch"] + 1
+    tr2.train_dataloader.epoch = tr2.epoch
+    got = [
+        np.asarray(b.arrays()["caption_tokens"]).tolist()
+        for b in tr2.train_dataloader
+    ]
+    assert got == expected
+
+
 def test_data_parallel_training(tmp_path_factory, tiny_dataset_dir):
     """XE training sharded over the 8 virtual CPU devices."""
     import jax
