@@ -104,6 +104,96 @@ def bench_jax() -> tuple:
     return throughput, p50_ms
 
 
+def bench_trained() -> dict:
+    """Decode the TRAINED d512 checkpoint on its held-out test split.
+
+    Artifact produced by scripts/export_trained_bench.py (14 XE epochs on
+    the 1k-image signal dataset at reference scale; the side-by-side in
+    PERF.md shows this repo's dev CIDEr equals the torch reference's to 12
+    decimals).  Returns trained-decode throughput + the test CIDEr the
+    decoded captions actually score, so the headline row is backed by a
+    real model, not random init."""
+    import os
+    import pickle
+
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "saved_models", "signal_d512_bench")
+    if not os.path.isdir(art):
+        return {}
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from compare_training_vs_reference import shared_config
+
+    from openviic_tpu.builders import build_model
+    from openviic_tpu.decoding import beam_search
+    from openviic_tpu.evaluation import Cider
+
+    with open(os.path.join(art, "vocab.bin"), "rb") as f:
+        vocab = pickle.load(f)
+    cfg = shared_config("/nonexistent", "/tmp/bench_trained", "bench",
+                        d_model=512, heads=8, layers=3, d_ff=2048)
+    model = build_model(cfg.MODEL, vocab)
+
+    nested: dict = {}
+    with np.load(os.path.join(art, "params_f16.npz")) as z:
+        for key in z.files:
+            node = nested
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key], jnp.float32)
+    params = nested
+
+    with np.load(os.path.join(art, "test_features.npz")) as z:
+        ids = list(z.files)
+        raw = [z[i].astype(np.float32) for i in ids]
+    # per-image region counts vary; zero-pad to the set max (all-zero rows
+    # are masked by the vision embedding's padding mask)
+    max_r = max(a.shape[0] for a in raw)
+    feats = np.zeros((len(raw), max_r, raw[0].shape[1]), np.float32)
+    for i, a in enumerate(raw):
+        feats[i, : a.shape[0]] = a
+    with open(os.path.join(art, "test_refs.json")) as f:
+        refs = json.load(f)
+
+    n = feats.shape[0]
+    batch = {"region_features": jax.device_put(feats)}
+    decode = functools.partial(
+        beam_search, model, beam_size=BEAM, out_size=1,
+        compute_dtype=jnp.bfloat16, beam_resident=True,
+    )
+    decode = jax.jit(decode)
+    for _ in range(2):
+        outs, _ = decode(params, batch=batch)
+        np.asarray(outs)
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        outs, _ = decode(params, batch=batch)
+    tokens = np.asarray(outs)
+    dt = time.perf_counter() - t0
+    throughput = n * n_iters / dt
+
+    import itertools
+
+    caps = vocab.decode_caption(tokens.reshape(n, -1), join_words=False)
+    gens = {
+        i: [" ".join(k for k, _ in itertools.groupby(c))]
+        for i, c in zip(ids, caps)
+    }
+    gts = {i: refs[i] for i in ids}
+    cider = float(Cider().compute_score(gts, gens)[0])
+    return {
+        "trained_captions_per_sec": round(throughput, 2),
+        "trained_test_cider": round(cider, 4),
+        "trained_n_images": n,
+    }
+
+
 def bench_torch_reference() -> float:
     """Reference-mechanics beam-5 decode on torch CPU."""
     import torch
@@ -228,6 +318,11 @@ def bench_torch_reference() -> float:
 def main() -> None:
     value, p50_ms = bench_jax()
     try:
+        trained = bench_trained()
+    except Exception as e:  # missing artifact must not kill the bench
+        print(f"trained-checkpoint bench failed: {e}", file=sys.stderr)
+        trained = {}
+    try:
         baseline = bench_torch_reference()
     except Exception as e:  # torch missing/broken should not kill the bench
         print(f"baseline measurement failed: {e}", file=sys.stderr)
@@ -245,6 +340,7 @@ def main() -> None:
             "beam": BEAM, "vocab": VOCAB_SIZE, "max_len": MAX_LEN,
             "batch": JAX_BATCH, "d_model": D_MODEL, "layers": LAYERS,
         },
+        **trained,
     }
     print(json.dumps(result))
 

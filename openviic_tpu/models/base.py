@@ -53,8 +53,12 @@ class BaseTransformer(nn.Module):
     def encoder_forward(self, batch: Dict[str, jnp.ndarray], train: bool = False):
         raise NotImplementedError
 
-    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
-        """Teacher-forced forward -> (bs, seq_len, vocab) log-probs."""
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
+                 raw_logits: bool = False):
+        """Teacher-forced forward -> (bs, seq_len, vocab) log-probs.
+
+        ``raw_logits=True`` skips the f32 log-softmax and returns the head
+        logits in compute dtype (fused-NLL training path)."""
         encoder_features, encoder_padding_mask = self.encoder_forward(
             batch, train=train
         )
@@ -63,6 +67,7 @@ class BaseTransformer(nn.Module):
             encoder_features=encoder_features,
             encoder_attention_mask=encoder_padding_mask,
             train=train,
+            raw_logits=raw_logits,
         )
 
     # -- decode API (called under apply) ---------------------------------

@@ -345,7 +345,7 @@ class _DecoderBase(nn.Module):
 
     # -- teacher-forced ------------------------------------------------
     def __call__(self, caption_tokens, encoder_features, encoder_attention_mask,
-                 train: bool = False):
+                 train: bool = False, raw_logits: bool = False):
         b_s, seq_len = caption_tokens.shape[:2]
         pad_mask = generate_padding_mask(caption_tokens, self.padding_idx)
         self_mask = generate_sequential_mask(seq_len)
@@ -363,6 +363,12 @@ class _DecoderBase(nn.Module):
                 enc_attention_mask=encoder_attention_mask, train=train,
             )
         out = self.fc(out)
+        if raw_logits:
+            # fused-loss training path (training/steps.py::fused_nll): the
+            # (bs, L, |V|) f32 log-softmax never hits HBM — the caller
+            # computes nll = lse(logits) - logits[target] with reductions
+            # fused into the head matmul's consumers
+            return out
         return jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
 
     # -- step decoding --------------------------------------------------
@@ -548,7 +554,7 @@ class AdaptiveDecoder(_DecoderBase):
         return {"layers": layers, "pad": jnp.zeros((batch_size, L), dtype=bool)}
 
     def __call__(self, caption_tokens, encoder_features, encoder_attention_mask,
-                 train: bool = False):
+                 train: bool = False, raw_logits: bool = False):
         b_s, seq_len = caption_tokens.shape[:2]
         pad_mask = generate_padding_mask(caption_tokens, self.padding_idx)
         self_mask = generate_sequential_mask(seq_len)
@@ -569,6 +575,8 @@ class AdaptiveDecoder(_DecoderBase):
                 language_signals=language_signals, train=train,
             )
         out = self.fc(out)
+        if raw_logits:
+            return out
         return jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
 
     def step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,

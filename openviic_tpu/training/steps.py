@@ -39,6 +39,32 @@ def nll_loss(log_probs: jnp.ndarray, targets: jnp.ndarray, ignore_index: int):
     return -picked.sum() / count
 
 
+def fused_nll(logits: jnp.ndarray, targets: jnp.ndarray, ignore_index: int):
+    """Mean NLL straight from raw head logits — no log-softmax tensor.
+
+    Math-identical to ``nll_loss(log_softmax(logits.astype(f32)))``: per
+    kept position ``lse(logits) - logits[target]`` (both terms upcast to
+    f32 before subtracting, exactly what the f32 log-softmax produces).
+    The profiled unfused path spends ~0.4 ms/step on the (bs, L, |V|) f32
+    upcast + relayout copy + flatten reshape at reference scale (xplane,
+    PERF.md); here the (bs, L, |V|) tensor only exists in compute dtype as
+    the head matmul's output and XLA fuses max/exp/sum into its consumers.
+    Reference semantics: NLLLoss(ignore_index=pad) over log-softmax
+    outputs (trainers/base_trainer.py:91)."""
+    f32 = jnp.float32
+    # stop_gradient on the max shift: its gradient contribution cancels
+    # exactly, and removing it keeps the backward a single softmax fusion
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    lse = m[..., 0].astype(f32) + jnp.log(
+        jnp.sum(jnp.exp((logits - m).astype(f32)), axis=-1)
+    )
+    picked = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    keep = targets != ignore_index
+    per_pos = jnp.where(keep, lse - picked.astype(f32), 0.0)
+    count = jnp.maximum(keep.sum(), 1)
+    return per_pos.sum() / count
+
+
 def _cast_floating(tree, dtype):
     return jax.tree.map(
         lambda x: x.astype(dtype)
@@ -67,24 +93,42 @@ def make_xe_step(model, optimizer, label_smoothing: float = 0.0,
     ``state`` is donated: XLA updates params/opt_state in place instead of
     allocating a second copy (callers must reassign, ``state = step(state,
     batch)`` — the trainer does)."""
+    _update = _make_xe_update(
+        model, optimizer, label_smoothing, mixed_precision, grad_accum
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def xe_step(state, batch):
+        return _update(state, batch)
+
+    return xe_step
+
+
+def _make_xe_update(model, optimizer, label_smoothing, mixed_precision,
+                    grad_accum):
+    """The unjitted single-update body shared by make_xe_step and
+    make_xe_multi_step."""
 
     def _loss_terms(params, mb, rng):
         """(sum of per-token losses, token count) for one microbatch."""
         mb_cast = _cast_floating(mb, jnp.bfloat16) if mixed_precision else mb
         if mixed_precision:
             params = _cast_floating(params, jnp.bfloat16)
-        out = model.apply(params, mb_cast, train=True, rngs={"dropout": rng})
         targets = mb["shifted_right_caption_tokens"]
         pad = model.vocab.padding_idx
         count = jnp.maximum((targets != pad).sum(), 1)
         if label_smoothing > 0.0:
+            out = model.apply(params, mb_cast, train=True, rngs={"dropout": rng})
             mean = label_smoothing_loss(out, targets, pad, smoothing=label_smoothing)
         else:
-            mean = nll_loss(out, targets, pad)
+            logits = model.apply(
+                params, mb_cast, train=True, rngs={"dropout": rng},
+                raw_logits=True,
+            )
+            mean = fused_nll(logits, targets, pad)
         return mean * count, count
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def xe_step(state, batch):
+    def _update(state, batch):
         rng, new_rng = jax.random.split(state["rng"])
 
         if grad_accum <= 1:
@@ -130,7 +174,38 @@ def make_xe_step(model, optimizer, label_smoothing: float = 0.0,
         }
         return new_state, loss
 
-    return xe_step
+    return _update
+
+
+def make_xe_multi_step(model, optimizer, label_smoothing: float = 0.0,
+                       mixed_precision: bool = False):
+    """Returns a jitted ``(state, (batch, ...)) -> (state, losses (k,))``
+    running k sequential XE updates in ONE dispatch (k = the number of
+    batch dicts passed; a new k retraces, so callers should use a fixed
+    chunk size and fall back to single steps for the epoch remainder).
+
+    Motivation (PERF.md xplane analysis): at reference scale the XE step
+    is ~6 ms of device time but ~7.7 ms wall — ~1.6 ms/step goes to host
+    dispatch (flattening the params/opt_state pytree per call) on this
+    1-CPU host.  Batching k updates into one call pays that once per k
+    steps.  The k batches are passed as a tuple of separate dicts (no
+    host-side stacking copy) and the update body is unrolled.
+
+    Numerics are identical to k calls of ``make_xe_step``'s update: same
+    rng splits, same donation semantics (callers reassign state)."""
+    _update = _make_xe_update(
+        model, optimizer, label_smoothing, mixed_precision, grad_accum=1
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def xe_multi_step(state, batches):
+        losses = []
+        for b in batches:
+            state, loss = _update(state, b)
+            losses.append(loss)
+        return state, jnp.stack(losses)
+
+    return xe_multi_step
 
 
 def make_eval_loss_step(model):
@@ -161,8 +236,17 @@ def scst_log_probs(model, params, batch, sampled, rng=None):
     kwargs = {}
     if rng is not None:
         kwargs = {"train": True, "rngs": {"dropout": rng}}
-    out = model.apply(params, dict(batch, caption_tokens=inputs), **kwargs)
-    picked = jnp.take_along_axis(out, sampled[..., None], axis=2)[..., 0]
+    logits = model.apply(
+        params, dict(batch, caption_tokens=inputs), raw_logits=True, **kwargs
+    )
+    # fused log-prob pick: logits[word] - lse(logits), never materialising
+    # the (n, L, |V|) f32 log-softmax (see fused_nll)
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    lse = m[..., 0].astype(jnp.float32) + jnp.log(
+        jnp.sum(jnp.exp((logits - m).astype(jnp.float32)), axis=-1)
+    )
+    picked = jnp.take_along_axis(logits, sampled[..., None], axis=2)[..., 0]
+    picked = picked.astype(jnp.float32) - lse
 
     # zero out positions strictly after the first eos (the eos step itself
     # keeps its log-prob — beam_search.py:48-55 semantics)

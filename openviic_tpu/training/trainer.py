@@ -249,6 +249,22 @@ class BaseTrainer:
                 mixed_precision=bool(config.TRAINING.get("MIXED_PRECISION", False)),
                 grad_accum=grad_accum,
             )
+        # TRAINING.STEPS_PER_CALL k>1: run k XE updates per dispatch
+        # (make_xe_multi_step) — amortises the per-call pytree-flattening
+        # host overhead (~1.6 ms/step at reference scale on a 1-CPU host,
+        # PERF.md).  Identical numerics; incompatible with mesh sharding
+        # and grad accumulation (falls back to single steps).
+        self.steps_per_call = int(config.TRAINING.get("STEPS_PER_CALL", 1))
+        self.xe_multi_step = None
+        if self.steps_per_call > 1 and self.mesh is None and grad_accum <= 1:
+            from openviic_tpu.training.steps import make_xe_multi_step
+
+            self.xe_multi_step = make_xe_multi_step(
+                self.model,
+                self.optimizer,
+                label_smoothing=float(config.TRAINING.get("LABEL_SMOOTHING", 0.0)),
+                mixed_precision=bool(config.TRAINING.get("MIXED_PRECISION", False)),
+            )
         self.eval_step = make_eval_loss_step(self.model)
         # decode dtype: f32 by default (token-level parity with the
         # reference); TRAINING.DECODE_DTYPE: bfloat16 enables the ~1.8x
@@ -324,27 +340,49 @@ class BaseTrainer:
         # log points)
         step = int(self.state["step"])
         losses = []
-        for bs_items, batch in batches:
-            self.state, loss = self.xe_step(self.state, batch)
-            losses.append(loss)
-            n += 1
-            step += 1
-            if n % 16 == 0:
-                loss.block_until_ready()  # bound dispatch run-ahead
-            timer.update(bs_items)
-            if self.profiler is not None:
-                self.profiler.step(step)
-            if step % self.log_every == 0:
-                self.metrics.log(
-                    step,
-                    {
-                        "xe_loss": float(loss),
-                        "lr": float(self.lr_schedule(step - 1)),
-                        "captions_per_sec": timer.rate,
-                        "epoch": self.epoch,
-                    },
-                    prefix="train/",
+        k = self.steps_per_call if self.xe_multi_step is not None else 1
+        buf = []
+
+        def _run_buf():
+            nonlocal n, step
+            if len(buf) == k and k > 1 and len({b[0] for b in buf}) == 1:
+                self.state, ls = self.xe_multi_step(
+                    self.state, tuple(b[1] for b in buf)
                 )
+                group = [ls[i] for i in range(k)]
+            else:  # epoch remainder / uneven batch: plain single steps
+                group = []
+                for _, b in buf:
+                    self.state, loss = self.xe_step(self.state, b)
+                    group.append(loss)
+            for (bs_items, _), loss in zip(buf, group):
+                losses.append(loss)
+                n += 1
+                step += 1
+                timer.update(bs_items)
+                if self.profiler is not None:
+                    self.profiler.step(step)
+                if step % self.log_every == 0:
+                    self.metrics.log(
+                        step,
+                        {
+                            "xe_loss": float(loss),
+                            "lr": float(self.lr_schedule(step - 1)),
+                            "captions_per_sec": timer.rate,
+                            "epoch": self.epoch,
+                        },
+                        prefix="train/",
+                    )
+            if n % (16 * k) < k:
+                group[-1].block_until_ready()  # bound dispatch run-ahead
+            buf.clear()
+
+        for bs_items, batch in batches:
+            buf.append((bs_items, batch))
+            if len(buf) == k:
+                _run_buf()
+        if buf:
+            _run_buf()
         running_loss = float(np.sum(np.asarray(losses, dtype=np.float64)))
         dt = time.time() - t0
         avg = running_loss / max(n, 1)

