@@ -36,9 +36,9 @@ HEADS = 8
 LAYERS = 3
 D_FF = 2048
 
-JAX_BATCH = 96  # images per decode batch on TPU (throughput peak — the
-# batch-scaling diagnostic in PERF.md measures ~flat per-image cost with
-# a maximum at 96)
+JAX_BATCH = 320  # images per decode batch on TPU (throughput peak — the
+# round-3 batch-scaling re-scan in PERF.md: 96/192/320 -> 3.7k/4.0k/4.45k
+# captions/s, peak at 320; >=512 crashes the axon TPU worker)
 TORCH_BATCH = 12  # reference DICT_BATCH_SIZE 60 // beam 5 (base_trainer.py:65)
 
 

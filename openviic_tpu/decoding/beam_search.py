@@ -262,6 +262,7 @@ def beam_search(
     resident_kernel: bool = False,
     unroll: bool = False,
     head_kernel: bool = False,
+    _return_stream: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run batched beam search; returns (outputs, log_probs).
 
@@ -510,6 +511,34 @@ def beam_search(
             new_carry["all_log_probs"] = carry["all_log_probs"]
         return new_carry, None
 
+    def finalize(final):
+        # sort beams by final sequence log-prob (beam_search.py:97-107)
+        seq_logprob = final["seq_logprob"][..., 0]  # (bs, beam)
+        sort_idxs = jnp.argsort(-seq_logprob, axis=1)
+        outputs = jnp.take_along_axis(
+            final["outputs"], sort_idxs[..., None], axis=1
+        )
+        log_probs = jnp.take_along_axis(
+            final["log_probs"], sort_idxs[..., None], axis=1
+        )
+
+        outputs = outputs[:, :out_size]
+        log_probs = log_probs[:, :out_size]
+        if out_size == 1:
+            outputs = outputs[:, 0]
+            log_probs = log_probs[:, 0]
+        if return_probs:
+            all_log_probs = jnp.take_along_axis(
+                final["all_log_probs"], sort_idxs[..., None, None], axis=1
+            )
+            return outputs, log_probs, all_log_probs
+        return outputs, log_probs
+
+    if _return_stream:
+        # expose (init, step_fn, finalize) so beam_search_multi can fuse
+        # several independent streams into one while_loop
+        return init, step_fn, finalize
+
     if unroll:
         # fully-unrolled decode: every step has a *static* t, so XLA can
         # hoist the per-iteration weight staging out of the loop (a
@@ -541,23 +570,66 @@ def beam_search(
     else:
         final, _ = jax.lax.scan(step_fn, init, jnp.arange(max_len))
 
-    # 4) sort beams by final sequence log-prob (beam_search.py:97-107)
-    seq_logprob = final["seq_logprob"][..., 0]  # (bs, beam)
-    sort_idxs = jnp.argsort(-seq_logprob, axis=1)
-    outputs = jnp.take_along_axis(final["outputs"], sort_idxs[..., None], axis=1)
-    log_probs = jnp.take_along_axis(final["log_probs"], sort_idxs[..., None], axis=1)
+    return finalize(final)
 
-    outputs = outputs[:, :out_size]
-    log_probs = log_probs[:, :out_size]
-    if out_size == 1:
-        outputs = outputs[:, 0]
-        log_probs = log_probs[:, 0]
-    if return_probs:
-        all_log_probs = jnp.take_along_axis(
-            final["all_log_probs"], sort_idxs[..., None, None], axis=1
+
+def beam_search_multi(
+    model,
+    params,
+    batches,
+    beam_size: int,
+    out_size: int = 1,
+    compute_dtype: Optional[jnp.dtype] = None,
+    beam_resident: bool = True,
+):
+    """Decode several independent batches inside ONE jitted program.
+
+    The streams share a single ``lax.while_loop`` whose body runs every
+    stream's decode step; the streams have no data dependencies on each
+    other, so XLA's latency-hiding scheduler can interleave their op
+    graphs — one stream's DMA/fusion bubbles are filled with another
+    stream's compute.  This targets the per-op-overhead-bound decode tail
+    (PERF.md "Remaining gap analysis": ~540 us/step vs ~120 us HBM floor
+    at batch 64) that batch scaling alone does not amortise.
+
+    Token-identical to ``beam_search`` run per batch (same step_fn), cf.
+    tests/test_beam_search_variants.py.  Reference mechanics being beaten:
+    models/modules/beam_search.py:94-118 (one python loop per batch).
+
+    Returns a list of (outputs, log_probs), one per input batch.
+    """
+    streams = [
+        beam_search(
+            model,
+            params,
+            b,
+            beam_size=beam_size,
+            out_size=out_size,
+            compute_dtype=compute_dtype,
+            beam_resident=beam_resident,
+            _return_stream=True,
         )
-        return outputs, log_probs, all_log_probs
-    return outputs, log_probs
+        for b in batches
+    ]
+    inits = tuple(s[0] for s in streams)
+    max_len = model.vocab.max_caption_length
+
+    def cond_fn(state):
+        t, carries = state
+        alive = jnp.any(
+            jnp.stack([jnp.any(c["seq_mask"] > 0) for c in carries])
+        )
+        return jnp.logical_and(t < max_len, jnp.logical_or(alive, t < 2))
+
+    def body_fn(state):
+        t, carries = state
+        new = tuple(
+            streams[i][1](carries[i], t)[0] for i in range(len(streams))
+        )
+        return (t + 1, new)
+
+    _, finals = jax.lax.while_loop(cond_fn, body_fn, (jnp.asarray(0), inits))
+    return [streams[i][2](finals[i]) for i in range(len(streams))]
 
 
 class BeamSearcher:

@@ -235,3 +235,36 @@ def test_head_kernel_matches_fast_select(tiny_vocab):
         np.testing.assert_allclose(
             np.asarray(got_l), np.asarray(ref_l), atol=1e-5
         )
+
+
+def test_beam_search_multi_matches_single(tiny_vocab):
+    """beam_search_multi (N independent streams fused into one while_loop
+    for cross-batch op interleaving) must be token-identical to running
+    beam_search on each batch separately."""
+    from openviic_tpu.decoding.beam_search import beam_search_multi
+
+    cfg = model_config()
+    model = build_model(cfg, tiny_vocab)
+    batches = []
+    params = None
+    for seed in range(3):
+        batch = make_batch(tiny_vocab, bs=2 + seed, seed=seed)
+        if params is None:
+            params = model.init(jax.random.PRNGKey(0), batch)
+        batches.append({"region_features": batch["region_features"]})
+
+    refs = [
+        beam_search(
+            model, params, b, beam_size=5, out_size=5, beam_resident=True
+        )
+        for b in batches
+    ]
+    multi = jax.jit(
+        lambda p, bs: beam_search_multi(model, p, bs, beam_size=5, out_size=5)
+    )(params, batches)
+    assert len(multi) == len(refs)
+    for (ref_o, ref_l), (got_o, got_l) in zip(refs, multi):
+        np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+        np.testing.assert_allclose(
+            np.asarray(got_l), np.asarray(ref_l), atol=1e-5
+        )
