@@ -438,19 +438,38 @@ static int m15_chunks(const std::vector<M15Match>& ms) {
   return ch;
 }
 
+// word -> synset ids (small sorted vectors; intersection test is linear)
+typedef std::unordered_map<std::string, std::vector<int>> M15SynTable;
+
+static bool m15_syn_share(const M15SynTable& syn, const std::string& a,
+                          const std::string& b) {
+  if (syn.empty()) return false;
+  auto ia = syn.find(a);
+  if (ia == syn.end()) return false;
+  auto ib = syn.find(b);
+  if (ib == syn.end()) return false;
+  for (int x : ia->second)
+    for (int y : ib->second)
+      if (x == y) return true;
+  return false;
+}
+
 static std::vector<M15Match> m15_align(const std::vector<std::string>& hyp,
-                                       const std::vector<std::string>& ref) {
+                                       const std::vector<std::string>& ref,
+                                       const M15SynTable& syn) {
   const size_t H = hyp.size(), R = ref.size();
   std::vector<std::string> hs(H), rs(R);
   for (size_t i = 0; i < H; ++i) hs[i] = porter(hyp[i]);
   for (size_t j = 0; j < R; ++j) rs[j] = porter(ref[j]);
   // candidates per hyp index: one per (i, j) pair, best module wins
-  // (exact elif stem — matching meteor15.py _collect_matches)
+  // (exact elif stem elif synonym — matching meteor15.py _collect_matches)
   std::vector<std::vector<M15Match>> by_start(H);
   for (size_t i = 0; i < H; ++i)
     for (size_t j = 0; j < R && j < 128; ++j) {
       if (hyp[i] == ref[j]) by_start[i].push_back({(int)i, (int)j, 0});
       else if (hs[i] == rs[j]) by_start[i].push_back({(int)i, (int)j, 1});
+      else if (m15_syn_share(syn, hyp[i], ref[j]))
+        by_start[i].push_back({(int)i, (int)j, 2});
     }
 
   std::vector<M15State> states{{0, 0, {}, 0}};
@@ -497,18 +516,28 @@ static double m15_score(const M15Stats& s) {
 }
 
 // Returns malloc'd double[n + 1]: [corpus, per_segment...].
-// function_words: space-separated list (passed from the Python side so
-// both implementations always share one list).
-double* ov_meteor15_score(const char* gens, const char* refs,
-                          const char* function_words) {
+// function_words: space-separated list; synonyms: one synset per line
+// ('\n'-separated), space-separated member words — both passed from the
+// Python side so the two implementations always share one data source
+// (evaluation/data/ bundles or the OPENVIIC_METEOR_* overrides).
+double* ov_meteor15_score_syn(const char* gens, const char* refs,
+                              const char* function_words,
+                              const char* synonyms) {
   std::vector<std::string> gen_recs = split(gens, '\x1e');
   std::vector<std::string> ref_recs = split(refs, '\x1e');
   size_t n = gen_recs.size();
   if (ref_recs.size() != n) return nullptr;
   std::unordered_map<std::string, bool> func;
   for (const auto& w : tokens_of(function_words)) func[w] = true;
+  M15SynTable syn;
+  if (synonyms && *synonyms) {
+    std::vector<std::string> lines = split(synonyms, '\n');
+    for (size_t li = 0; li < lines.size(); ++li)
+      for (const auto& w : tokens_of(lines[li]))
+        syn[w].push_back((int)li);
+  }
   const double DELTA = 0.75;
-  const double WMOD[2] = {1.0, 0.6};
+  const double WMOD[3] = {1.0, 0.6, 0.8};
   auto wt = [&](const std::string& w) {
     return func.count(w) ? 1.0 - DELTA : DELTA;
   };
@@ -521,7 +550,7 @@ double* ov_meteor15_score(const char* gens, const char* refs,
     M15Stats best_stats{0, 0, 0, 0, 0, 0};
     for (const auto& r : split(ref_recs[i], '\x1f')) {
       std::vector<std::string> ref = tokens_of(r);
-      std::vector<M15Match> ms = m15_align(hyp, ref);
+      std::vector<M15Match> ms = m15_align(hyp, ref, syn);
       M15Stats s{0, 0, 0, 0, 0, 0};
       for (const auto& m : ms) {
         s.pn += WMOD[m.mod] * wt(hyp[m.h]);
@@ -541,6 +570,12 @@ double* ov_meteor15_score(const char* gens, const char* refs,
   }
   out[0] = m15_score(agg);
   return out;
+}
+
+// Back-compat 3-arg entry point (pre-round-3 binding): no synonym stage.
+double* ov_meteor15_score(const char* gens, const char* refs,
+                          const char* function_words) {
+  return ov_meteor15_score_syn(gens, refs, function_words, "");
 }
 
 // -------------------------------------------------- PTB tokenizer

@@ -25,23 +25,18 @@ def _metrics():
     disables."""
     # METEOR: the 1.5 en-norm parameterisation (meteor15.py) — matches the
     # reference's jar invocation.  The native C++ 1.5 scorer substitutes
-    # when built, unless synonym/paraphrase data files are configured
-    # (those stages exist only in the Python scorer).
+    # when built; it reads the same bundled/override function-word and
+    # synonym data as the Python scorer, so only a configured paraphrase
+    # table (a Python-scorer-only stage) forces the Python path.
     meteor, cider = Meteor(), Cider()
     if os.environ.get("OPENVIIC_NATIVE", "1") != "0":
         try:
             from openviic_tpu import native
+            from openviic_tpu.evaluation.meteor15 import _paraphrase_table
 
             if native.available():
                 cider = native.NativeCider()
-                has_data = any(
-                    os.environ.get(k)
-                    for k in (
-                        "OPENVIIC_METEOR_SYNONYMS",
-                        "OPENVIIC_METEOR_PARAPHRASE",
-                    )
-                )
-                if not has_data:
+                if _paraphrase_table() is None:
                     try:
                         meteor = native.NativeMeteor15()
                     except Exception:

@@ -15,16 +15,25 @@ jar with ``-l en -norm`` (reference evaluation/meteor/meteor.py:26-65):
  - per-segment best reference; corpus score from aggregated statistics
    (the jar's aggregation), not the mean of segment scores.
 
-Stages: exact and Porter-stem always run.  The jar's synonym (WordNet)
-and paraphrase stages need data files that are not redistributable /
-downloadable offline; they load automatically when supplied:
+Stages: exact and Porter-stem always run.  The synonym stage and the
+content/function weighting run out of the box from BUNDLED data
+(``evaluation/data/``): a curated WordNet-core-style synset table
+(``meteor_synonyms_en.txt``, caption-domain weighted) and a function-word
+list (built-in frequency list ∪ the public Glasgow IR stop list).  The
+bundled tables are approximations — the jar's exact WordNet 3.0 /
+``paraphrase-en.gz`` data is not redistributable here (zero-egress
+build environment; the reference repo ships neither the jar nor its
+data, evaluation/meteor/meteor.py:26-65 expects them installed).  For
+exact jar parity, override with:
 
  - ``OPENVIIC_METEOR_SYNONYMS``: text file, one synset per line,
-   space-separated member words;
+   space-separated member words (export from the jar's WordNet data);
  - ``OPENVIIC_METEOR_PARAPHRASE``: (optionally gzipped) table with lines
-   ``phrase ||| paraphrase`` (the meteor paraphrase-en.gz format);
- - ``OPENVIIC_METEOR_FUNCTION_WORDS``: one function word per line,
-   replacing the built-in approximation of the jar's en function list.
+   ``phrase ||| paraphrase`` (the meteor paraphrase-en.gz format;
+   provenance: http://www.cs.cmu.edu/~alavie/METEOR/ distribution — the
+   paraphrase stage stays off until this file is supplied);
+ - ``OPENVIIC_METEOR_FUNCTION_WORDS``: one function word per line
+   (the jar's function/en.words file).
 
 Alignment follows the jar's one-best beam search over hypothesis
 positions: candidate matches from every stage, partial alignments ranked
@@ -71,26 +80,56 @@ _DEFAULT_FUNCTION_WORDS = frozenset(
 )
 
 
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
 def _load_lines(path: Optional[str]) -> Optional[List[str]]:
     if not path or not os.path.exists(path):
         return None
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt", encoding="utf-8", errors="replace") as f:
-        return [line.rstrip("\n") for line in f]
+        return [
+            line.rstrip("\n")
+            for line in f
+            if line.strip() and not line.startswith("#")
+        ]
+
+
+def _data_file(env_var: str, bundled: str) -> Optional[str]:
+    """Env override first, bundled package data second."""
+    path = os.environ.get(env_var)
+    if path:
+        return path
+    bundled_path = os.path.join(_DATA_DIR, bundled)
+    return bundled_path if os.path.exists(bundled_path) else None
 
 
 @lru_cache(maxsize=1)
 def _function_words() -> frozenset:
-    lines = _load_lines(os.environ.get("OPENVIIC_METEOR_FUNCTION_WORDS"))
+    lines = _load_lines(
+        _data_file(
+            "OPENVIIC_METEOR_FUNCTION_WORDS", "meteor_function_words_en.txt"
+        )
+    )
     if lines:
         return frozenset(w.strip() for w in lines if w.strip())
     return _DEFAULT_FUNCTION_WORDS
 
 
 @lru_cache(maxsize=1)
+def _synonym_lines() -> Optional[Tuple[str, ...]]:
+    """Raw synset lines (one synset per line) — shared with the native
+    C++ scorer so both implementations read one data source."""
+    lines = _load_lines(
+        _data_file("OPENVIIC_METEOR_SYNONYMS", "meteor_synonyms_en.txt")
+    )
+    return tuple(lines) if lines else None
+
+
+@lru_cache(maxsize=1)
 def _synonym_sets() -> Optional[Dict[str, set]]:
     """word -> set of synset ids it belongs to."""
-    lines = _load_lines(os.environ.get("OPENVIIC_METEOR_SYNONYMS"))
+    lines = _synonym_lines()
     if not lines:
         return None
     table: Dict[str, set] = {}

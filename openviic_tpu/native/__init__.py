@@ -63,6 +63,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ov_meteor15_score.restype = ctypes.POINTER(ctypes.c_double)
     except AttributeError:  # stale pre-round-2 library
         pass
+    try:
+        lib.ov_meteor15_score_syn.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p,
+        ]
+        lib.ov_meteor15_score_syn.restype = ctypes.POINTER(ctypes.c_double)
+    except AttributeError:  # stale pre-round-3 library
+        pass
     lib.ov_ptb_tokenize.argtypes = [ctypes.c_char_p]
     lib.ov_ptb_tokenize.restype = ctypes.c_void_p  # manual free
     _lib = lib
@@ -143,19 +151,36 @@ class NativeMeteor:
 
 class NativeMeteor15:
     """METEOR 1.5 en-norm parameterisation — mirrors evaluation.Meteor
-    (meteor15.py) for the exact+stem stages.  The Python scorer's optional
-    synonym/paraphrase data stages are not implemented here; callers use
-    the Python path when those data files are configured."""
+    (meteor15.py) for the exact+stem+synonym stages, reading the same
+    function-word and synonym data the Python scorer resolves (bundled
+    evaluation/data/ files or the OPENVIIC_METEOR_* overrides).  The
+    optional paraphrase stage exists only in the Python scorer; callers
+    use the Python path when a paraphrase table is configured."""
 
     def compute_score(self, gts: Dict, res: Dict):
         lib = _load()
-        if lib is None or not hasattr(lib, "ov_meteor15_score"):
+        if lib is None:
             raise RuntimeError("native library unavailable")
-        from openviic_tpu.evaluation.meteor15 import _function_words
+        from openviic_tpu.evaluation.meteor15 import (
+            _function_words,
+            _synonym_lines,
+        )
 
         gens_b, refs_b, keys = _encode_pairs(gts, res)
         fwords = " ".join(sorted(_function_words())).encode()
-        ptr = lib.ov_meteor15_score(gens_b, refs_b, fwords)
+        syn_lines = _synonym_lines()
+        if syn_lines:
+            if not hasattr(lib, "ov_meteor15_score_syn"):
+                raise RuntimeError(
+                    "stale native library lacks the synonym stage"
+                )
+            ptr = lib.ov_meteor15_score_syn(
+                gens_b, refs_b, fwords, "\n".join(syn_lines).encode()
+            )
+        elif hasattr(lib, "ov_meteor15_score"):
+            ptr = lib.ov_meteor15_score(gens_b, refs_b, fwords)
+        else:
+            raise RuntimeError("native library unavailable")
         if not ptr:
             raise RuntimeError("native meteor15 failed")
         return _read_scores(ptr, len(keys))

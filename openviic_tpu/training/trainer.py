@@ -439,10 +439,22 @@ class BaseTrainer:
         beam = self.training_beam_size
         losses, rewards = [], []
         step = int(self.state["step"])
-        pairs = device_prefetch(
-            self.train_dict_dataloader,
-            lambda items: (items, _device_batch(items)),
-        )
+
+        def _scst_place(items):
+            # dp-shard the SCST feature batch over the mesh (ragged final
+            # batches fall back to unsharded, as in _decode_loader); the
+            # sampled tokens, reward, and grads follow by jit sharding
+            # propagation and XLA inserts the gradient all-reduce — the
+            # same mechanism as make_sharded_xe_step (parallel/mesh.py)
+            mesh = self.mesh
+            if mesh is not None and items.batch_size % mesh.shape["data"] != 0:
+                mesh = None
+            if mesh is not None:
+                self._scst_sharded_steps += 1
+            return items, _device_batch(items, mesh)
+
+        self._scst_sharded_steps = getattr(self, "_scst_sharded_steps", 0)
+        pairs = device_prefetch(self.train_dict_dataloader, _scst_place)
         for items, batch in pairs:
             outs, _ = self.beam_searcher(
                 self.state["params"], batch, beam_size=beam, out_size=beam
@@ -580,10 +592,20 @@ class BaseTrainer:
         return io
 
     def save_checkpoint(self, extras: Dict) -> None:
+        # loader shuffle counters travel with the checkpoint: the XE loader
+        # advances only in XE epochs and the dict loader only in SCST
+        # epochs, so a resumed run cannot reconstruct them from the epoch
+        # number alone once the RL phase has begun (the _start_loop
+        # fallback does exactly that for pre-existing checkpoints, where
+        # the two coincide in the XE phase)
+        loader_epochs = {
+            "train": int(getattr(self.train_dataloader, "epoch", 0)),
+            "train_dict": int(getattr(self.train_dict_dataloader, "epoch", 0)),
+        }
         self._ckpt_io.save_checkpoint(
             os.path.join(self.checkpoint_path, self._ckpt_io.LAST_NAME),
             self.state,
-            {"epoch": self.epoch, **extras},
+            {"epoch": self.epoch, "loader_epochs": loader_epochs, **extras},
         )
 
     def load_checkpoint(self, fname: str) -> Optional[Dict]:
@@ -659,15 +681,19 @@ class BaseTrainer:
             # epoch, vi_trainer.py:166,227 — a wasted epoch we deliberately
             # do not replicate.)
             self.epoch = loaded["epoch"] + 1
-            # deterministic resume: realign the shuffle stream with where an
-            # uninterrupted run would be (loader epoch counter is not part
-            # of the checkpoint; SURVEY.md §5 failure-recovery semantics).
-            # The loader's counter increments on each __iter__, so after an
-            # uninterrupted epoch e it sits at e+1 == self.epoch — assign
-            # self.epoch directly (ADVICE r2: the old +1 skipped one
+            # deterministic resume: restore the shuffle counters exactly as
+            # the uninterrupted run would have them (SURVEY.md §5
+            # failure-recovery semantics).  New checkpoints carry them in
+            # extras["loader_epochs"] (save_checkpoint); older ones fall
+            # back to the XE-phase reconstruction — the counter increments
+            # on each __iter__, so after an uninterrupted XE epoch e it
+            # sits at e+1 == self.epoch (ADVICE r2: the old +1 skipped one
             # permutation and permanently diverged the shuffle stream).
-            self.train_dataloader.epoch = self.epoch
-            self.train_dict_dataloader.epoch = self.epoch
+            le = loaded.get("loader_epochs") or {}
+            self.train_dataloader.epoch = int(le.get("train", self.epoch))
+            self.train_dict_dataloader.epoch = int(
+                le.get("train_dict", self.epoch)
+            )
             if use_rl:
                 # resuming mid-SCST: the loaded opt_state is already the
                 # RL optimizer's — do not reinitialise it

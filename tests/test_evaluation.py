@@ -150,12 +150,14 @@ def test_meteor15_paraphrase_table(tmp_path, monkeypatch):
     """The paraphrase stage loads from OPENVIIC_METEOR_PARAPHRASE."""
     import openviic_tpu.evaluation.meteor15 as m15
 
-    gts = {"0": ["the man rides a bike"]}
-    res = {"0": ["the man rides a bicycle"]}
+    # 'xebike'/'xebicycle' are absent from the bundled synonym table
+    # (evaluation/data/), so only the paraphrase stage can match them
+    gts = {"0": ["the man rides a xebike"]}
+    res = {"0": ["the man rides a xebicycle"]}
     _, before = Meteor().compute_score(gts, res)
 
     table = tmp_path / "paraphrase.txt"
-    table.write_text("bicycle ||| bike\n")
+    table.write_text("xebicycle ||| xebike\n")
     monkeypatch.setenv("OPENVIIC_METEOR_PARAPHRASE", str(table))
     m15._paraphrase_table.cache_clear()
     try:
@@ -168,17 +170,20 @@ def test_meteor15_paraphrase_table(tmp_path, monkeypatch):
 def test_meteor15_synonym_stage(tmp_path, monkeypatch):
     import openviic_tpu.evaluation.meteor15 as m15
 
-    gts = {"0": ["a large dog"]}
-    res = {"0": ["a big dog"]}
+    # words absent from the bundled table — the env file must override it
+    gts = {"0": ["a xelarge dog"]}
+    res = {"0": ["a xebig dog"]}
     _, before = Meteor().compute_score(gts, res)
 
     syn = tmp_path / "synsets.txt"
-    syn.write_text("big large huge\n")
+    syn.write_text("xebig xelarge xehuge\n")
     monkeypatch.setenv("OPENVIIC_METEOR_SYNONYMS", str(syn))
+    m15._synonym_lines.cache_clear()
     m15._synonym_sets.cache_clear()
     try:
         _, after = Meteor().compute_score(gts, res)
     finally:
+        m15._synonym_lines.cache_clear()
         m15._synonym_sets.cache_clear()
     assert after[0] > before[0]
 
@@ -199,3 +204,45 @@ def test_compute_scores_interface():
     assert set(all_score.keys()) == {"BLEU", "METEOR", "ROUGE", "CIDEr"}
     assert all_score["ROUGE"] == pytest.approx(1.0)
     assert all_score["CIDEr"] == pytest.approx(10.0, abs=1e-6)
+
+
+def test_meteor15_analytic_goldens():
+    """Hand-derived golden scores from the METEOR 1.5 en-norm parameters
+    (alpha=.85, beta=.2, gamma=.6, delta=.75).  The jar itself is not
+    runnable offline, so these pin the closed-form cases every correct
+    implementation must produce:
+
+      identical m-content-word sentences: P=R=1 -> Fmean=1, one chunk,
+      Pen = gamma * (1/m)**beta, score = 1 - Pen.
+    """
+    from openviic_tpu.evaluation.meteor15 import (
+        BETA, GAMMA, Meteor15, _function_words,
+    )
+
+    fw = _function_words()
+    # content words only (not in the function list) so delta weighting
+    # cancels between numerator and denominator
+    words = [w for w in ("dog", "runs", "street", "red", "mat") if w not in fw]
+    assert len(words) >= 4, "test vocabulary collided with function words"
+    for m in (2, 4):
+        sent = " ".join(words[:m])
+        _, scores = Meteor15().compute_score({"0": [sent]}, {"0": [sent]})
+        expected = 1.0 - GAMMA * (1.0 / m) ** BETA
+        assert scores[0] == pytest.approx(expected, abs=1e-12), (m, sent)
+    # zero overlap -> zero
+    _, z = Meteor15().compute_score({"0": ["dog runs"]}, {"0": ["qqq zzz"]})
+    assert z[0] == 0.0
+
+
+def test_meteor15_bundled_synonyms_active_out_of_the_box():
+    """VERDICT r2 #6: the synonym stage must run with no env configuration,
+    from the bundled evaluation/data/ table ('big'/'large' share a synset),
+    and must score between a stem match (0.6) and an exact match (1.0)."""
+    gts = {"0": ["a big dog"]}
+    exact = {"0": ["a big dog"]}
+    syn = {"0": ["a large dog"]}
+    none = {"0": ["a qqq dog"]}
+    _, s_exact = Meteor().compute_score(gts, exact)
+    _, s_syn = Meteor().compute_score(gts, syn)
+    _, s_none = Meteor().compute_score(gts, none)
+    assert s_none[0] < s_syn[0] < s_exact[0]

@@ -91,8 +91,10 @@ def test_native_cider_speed():
 
 
 def test_native_meteor15_matches_python():
-    """C++ METEOR 1.5 must equal the Python meteor15 scorer exactly on the
-    exact+stem configuration (no synonym/paraphrase data)."""
+    """C++ METEOR 1.5 must equal the Python meteor15 scorer exactly —
+    both resolve the same bundled function-word + synonym data
+    (evaluation/data/), so exact, stem, AND synonym stages are compared
+    ('big'/'large' in the vocab share a bundled synset)."""
     from openviic_tpu import native
     from openviic_tpu.evaluation.meteor15 import Meteor15
 
@@ -100,7 +102,7 @@ def test_native_meteor15_matches_python():
         pytest.skip("native extension not built")
     rng = np.random.default_rng(5)
     words = ["the", "cats", "are", "running", "dog", "walks", "a", "on",
-             "mat", "red", "big", "street"]
+             "mat", "red", "big", "large", "street", "road"]
     gts, res = {}, {}
     for i in range(30):
         def sent():
