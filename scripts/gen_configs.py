@@ -268,6 +268,63 @@ def gen():
             yaml.safe_dump(cfg, f, sort_keys=False, allow_unicode=True)
         print("wrote", path)
 
+    gen_tpu_variants(configs)
+
+
+# TPU-tuned settings measured in PERF.md — every value is a validated win
+# on v5e, applied on top of the reference-parity configs (which stay
+# untouched for bit-compatible comparisons):
+#   RNG_IMPL rbg          +46% XE throughput (hardware PRNG dropout masks)
+#   MIXED_PRECISION       bf16 matmuls w/ f32 accumulation (MXU native)
+#   DECODE_DTYPE bfloat16 ~1.8x eval/SCST decode; token parity spot-checked
+#   STEPS_PER_CALL 4      amortises host dispatch; numerics == 4 x 1 step
+#   DICT_BATCH_SIZE 300   SCST at 60 images/step: ~2.7x reference's 12-image
+#                         batches ("5x the images for 1.8x the latency")
+#   MAX_REGIONS 100       one static padded shape -> one XLA compile
+#                         (bottom-up x152 caps at 100 boxes; raise if your
+#                         extraction emits more — overflow raises clearly)
+#   CACHE_FEATURES 2000   host LRU over .npy feature dicts (~2k x ~1 MB)
+_TPU_TUNING = {
+    "DATASET": {
+        "DICT_BATCH_SIZE": 300,
+        "MAX_REGIONS": 100,
+        "CACHE_FEATURES": 2000,
+    },
+    "TRAINING": {
+        "RNG_IMPL": "rbg",
+        "MIXED_PRECISION": True,
+        "DECODE_DTYPE": "bfloat16",
+        "STEPS_PER_CALL": 4,
+    },
+}
+
+_TPU_HEADER = """\
+# TPU-tuned variant of configs/{name}.yaml — generated by
+# scripts/gen_configs.py.  Same model/data tree; only the PERF.md-validated
+# performance keys differ (see _TPU_TUNING there for the measured wins).
+# The parity config remains the reference-bit-compatible baseline.
+"""
+
+
+def gen_tpu_variants(configs):
+    # the two broken-as-shipped parity configs exist only to prove the
+    # loader survives the reference's typos — no point tuning them
+    skip = {"rstnet", "dlct-transformer"}
+    out = os.path.join(OUT, "tpu")
+    os.makedirs(out, exist_ok=True)
+    for name, cfg in configs.items():
+        if name in skip:
+            continue
+        tuned = copy.deepcopy(cfg)
+        for section, keys in _TPU_TUNING.items():
+            tuned.setdefault(section, {}).update(keys)
+        tuned["MODEL"]["NAME"] = f"{tuned['MODEL']['NAME']}_tpu"
+        path = os.path.join(out, f"{name}.yaml")
+        with open(path, "w") as f:
+            f.write(_TPU_HEADER.format(name=name))
+            yaml.safe_dump(tuned, f, sort_keys=False, allow_unicode=True)
+        print("wrote", path)
+
 
 if __name__ == "__main__":
     gen()

@@ -2,7 +2,8 @@
 # One-command reproduction of the mid-scale TPU training demo (PERF.md):
 # generate a 1000-image signal-bearing synthetic dataset, train the
 # flagship region transformer at reference scale through the production
-# CLI (rbg RNG + bf16 + feature cache), and report held-out test scores.
+# CLI with the TPU-tuned config (configs/tpu/ — rbg RNG, bf16, fused
+# dispatch, feature cache), and report held-out test scores.
 #
 # Usage: scripts/run_demo.sh [workdir]   (default /tmp/openviic_demo)
 set -euo pipefail
@@ -14,19 +15,16 @@ if [ ! -f "$WORK/dataset/train.json" ]; then
     --n-images 1000 --signal --no-grids
 fi
 
-python train.py --config-file configs/standard_transformer_using_region.yaml \
+python train.py \
+  --config-file configs/tpu/standard_transformer_using_region.yaml \
   --max-epochs 20 \
   DATASET.JSON_PATH.TRAIN "$WORK/dataset/train.json" \
   DATASET.JSON_PATH.DEV "$WORK/dataset/dev.json" \
   DATASET.JSON_PATH.TEST "$WORK/dataset/test.json" \
   DATASET.FEATURE_PATH.FEATURES "$WORK/dataset/features" \
-  DATASET.CACHE_FEATURES 1200 \
   TRAINING.CHECKPOINT_PATH "$WORK/runs" \
   TRAINING.WARMUP 1000 \
   TRAINING.PATIENCE 3 \
-  TRAINING.RNG_IMPL rbg \
-  TRAINING.MIXED_PRECISION true \
-  TRAINING.DECODE_DTYPE bfloat16 \
   MODEL.NAME demo_synthetic
 
 echo

@@ -88,3 +88,39 @@ def test_full_scale_init_and_forward(name, tiny_vocab):
     out = model.apply(params, batch)
     assert out.shape == (bs, tiny_vocab.max_caption_length, len(tiny_vocab))
     assert np.isfinite(np.asarray(out)).all()
+
+
+TPU_CONFIGS = sorted(
+    os.path.basename(p)
+    for p in glob.glob(os.path.join(CONFIG_DIR, "tpu", "*.yaml"))
+)
+
+
+def test_tpu_variants_exist_for_every_buildable_config():
+    # all parity configs except the two deliberately-broken-as-shipped
+    # ones (and handwritten tiny_test) get a tuned twin
+    expected = {
+        n for n in ALL_CONFIGS if n not in ("rstnet.yaml", "dlct-transformer.yaml")
+    }
+    assert set(TPU_CONFIGS) == expected
+
+
+@pytest.mark.parametrize("name", TPU_CONFIGS)
+def test_tpu_variant_parses_builds_and_carries_the_tuning(name, tiny_vocab):
+    cfg = get_config(os.path.join(CONFIG_DIR, "tpu", name))
+    # the PERF.md-validated keys (scripts/gen_configs.py::_TPU_TUNING)
+    assert cfg.TRAINING.RNG_IMPL == "rbg"
+    assert cfg.TRAINING.MIXED_PRECISION is True
+    assert cfg.TRAINING.DECODE_DTYPE == "bfloat16"
+    assert cfg.TRAINING.STEPS_PER_CALL == 4
+    assert cfg.DATASET.DICT_BATCH_SIZE == 300
+    assert cfg.DATASET.MAX_REGIONS == 100
+    assert cfg.DATASET.CACHE_FEATURES == 2000
+    # everything but the tuned keys + MODEL.NAME matches the parity twin
+    base = get_config(os.path.join(CONFIG_DIR, name))
+    assert cfg.MODEL.NAME == base.MODEL.NAME + "_tpu"
+    assert cfg.MODEL.ARCHITECTURE == base.MODEL.ARCHITECTURE
+    assert cfg.MODEL.ENCODER.to_dict() == base.MODEL.ENCODER.to_dict()
+    assert cfg.MODEL.DECODER.to_dict() == base.MODEL.DECODER.to_dict()
+    model = build_model(cfg.MODEL, tiny_vocab)
+    assert model is not None
