@@ -38,7 +38,8 @@ D_FF = 2048
 
 JAX_BATCH = 320  # images per decode batch on TPU (throughput peak — the
 # round-3 batch-scaling re-scan in PERF.md: 96/192/320 -> 3.7k/4.0k/4.45k
-# captions/s, peak at 320; >=512 crashes the axon TPU worker)
+# captions/s, peak at 320; >=512 crashes the axon TPU worker.  With the
+# fused head+top-k kernel: 96/192/320/384 -> 4.2k/4.9k/5.3k/5.4k)
 TORCH_BATCH = 12  # reference DICT_BATCH_SIZE 60 // beam 5 (base_trainer.py:65)
 
 
@@ -70,8 +71,11 @@ def bench_jax() -> tuple:
             compute_dtype=jnp.bfloat16,
             # beam-resident decode: no cache gathers, dedup cross K/V,
             # fused hierarchical selection — token-identical to the default
-            # path (tests/test_beam_search_variants.py)
-            beam_resident=True,
+            # path (tests/test_beam_search_variants.py); plus the fused
+            # vocab-head+lse+top-k Pallas kernel (+20% at this batch,
+            # 100% token-identical on the trained checkpoint — PERF.md
+            # round 3)
+            beam_resident=True, head_kernel=True,
         )
     )
     # warm up twice, materializing on host — on the axon tunnel the first
@@ -164,7 +168,7 @@ def bench_trained() -> dict:
     batch = {"region_features": jax.device_put(feats)}
     decode = functools.partial(
         beam_search, model, beam_size=BEAM, out_size=1,
-        compute_dtype=jnp.bfloat16, beam_resident=True,
+        compute_dtype=jnp.bfloat16, beam_resident=True, head_kernel=True,
     )
     decode = jax.jit(decode)
     for _ in range(2):

@@ -635,12 +635,21 @@ def beam_search_multi(
 class BeamSearcher:
     """Caches jit-compiled beam search callables per (beam, out_size)."""
 
-    def __init__(self, model, compute_dtype=None, beam_resident=True):
+    def __init__(self, model, compute_dtype=None, beam_resident=True,
+                 head_kernel=False):
         self.model = model
         self.compute_dtype = compute_dtype
         # beam-resident decode is token-identical to the default path and
         # ~2x faster (PERF.md round 2) — on by default for trainer decode
         self.beam_resident = beam_resident
+        # fused head+top-k Pallas kernel (ops/head_topk.py): +14-20%
+        # measured on-chip (PERF.md round 3).  Token-identical in exact
+        # arithmetic; its f32 accumulation splits the vocab reduction
+        # differently from XLA's, so bf16 near-ties can resolve
+        # differently (trained-checkpoint decode measured 100%
+        # token-identical).  Off by default for strict parity runs;
+        # enable via TRAINING.DECODE_HEAD_KERNEL.
+        self.head_kernel = head_kernel
         self._compiled: Dict[Tuple[int, int], Any] = {}
 
     def __call__(self, params, batch, beam_size: int, out_size: int = 1):
@@ -654,6 +663,7 @@ class BeamSearcher:
                     out_size=out_size,
                     compute_dtype=self.compute_dtype,
                     beam_resident=self.beam_resident,
+                    head_kernel=self.head_kernel,
                 )
             )
         return self._compiled[key](params, batch=batch)

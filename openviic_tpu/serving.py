@@ -37,6 +37,7 @@ class CaptioningPipeline:
         batch_size: int = 32,
         use_bf16: bool = True,
         checkpoint_name: Optional[str] = None,
+        head_kernel: Optional[bool] = None,
     ):
         self.config = config
         checkpoint_dir = checkpoint_dir or os.path.join(
@@ -48,6 +49,12 @@ class CaptioningPipeline:
         self.beam_size = beam_size or config.TRAINING.EVALUATING_BEAM_SIZE
         self.batch_size = batch_size
         self.compute_dtype = jnp.bfloat16 if use_bf16 else None
+        # fused head+top-k decode kernel (+14-20% on-chip, PERF.md round
+        # 3); defaults to the config's TRAINING.DECODE_HEAD_KERNEL
+        self.head_kernel = bool(
+            config.TRAINING.get("DECODE_HEAD_KERNEL", False)
+            if head_kernel is None else head_kernel
+        )
 
         # initialise to get the param template, then load the checkpoint
         # through the configured backend (native pickle or orbax)
@@ -98,6 +105,7 @@ class CaptioningPipeline:
                     # token-identical to the default path and ~2x faster
                     # (PERF.md round-2 decode optimisation)
                     beam_resident=True,
+                    head_kernel=self.head_kernel,
                 )
             )
         return self._decode[key]

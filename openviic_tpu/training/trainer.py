@@ -273,6 +273,9 @@ class BaseTrainer:
         self.beam_searcher = BeamSearcher(
             self.model,
             compute_dtype=jnp.bfloat16 if decode_dtype == "bfloat16" else None,
+            # fused head+top-k decode kernel (+14-20% on-chip, PERF.md
+            # round 3); off by default for strict reference parity
+            head_kernel=bool(config.TRAINING.get("DECODE_HEAD_KERNEL", False)),
         )
         self.scst_step = None  # built lazily when switching to RL
         self.use_rl = False

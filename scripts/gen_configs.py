@@ -284,6 +284,9 @@ def gen():
 #                         (bottom-up x152 caps at 100 boxes; raise if your
 #                         extraction emits more — overflow raises clearly)
 #   CACHE_FEATURES 2000   host LRU over .npy feature dicts (~2k x ~1 MB)
+#   DECODE_HEAD_KERNEL    fused vocab-head+lse+top-k Pallas kernel: +14-20%
+#                         decode on-chip; 100% token-identical on the
+#                         trained d512 checkpoint (PERF.md round 3)
 _TPU_TUNING = {
     "DATASET": {
         "DICT_BATCH_SIZE": 300,
@@ -295,6 +298,7 @@ _TPU_TUNING = {
         "MIXED_PRECISION": True,
         "DECODE_DTYPE": "bfloat16",
         "STEPS_PER_CALL": 4,
+        "DECODE_HEAD_KERNEL": True,
     },
 }
 

@@ -14,7 +14,19 @@ The tiny-shape parity suite (tests/test_reference_parity.py, d16, CPU)
 proves the algorithms match; this script covers the shapes where bf16/f32
 accumulation and tie-breaking could actually diverge.
 
-Usage:  python scripts/parity_onchip_d512.py [--bs 16] [--regions 50]
+Beam-5 at random-init d512 is tie-fragile (measured: 10k-way logits give
+candidate-boundary gaps below the ~3e-5/step f32 cross-backend noise, and
+a flipped near-tie mid-search amplifies into different final sequences),
+so exact beam token parity is only asserted in ``--f64`` mode — run
+
+    JAX_PLATFORMS=cpu JAX_ENABLE_X64=1 python scripts/parity_onchip_d512.py --f64
+
+where both stacks decode in float64 (noise ~1e-13 can no longer flip any
+decision) and greedy AND beam-5 tokens must match exactly — the
+algorithmic-parity-at-scale statement.  The default (f32, real chip) run
+asserts greedy parity and score-equivalence diagnostics for beam-5.
+
+Usage:  python scripts/parity_onchip_d512.py [--bs 16] [--regions 50] [--f64]
 """
 
 from __future__ import annotations
@@ -32,6 +44,12 @@ REFERENCE = "/root/reference"
 sys.path.insert(0, ROOT)
 
 import jax  # noqa: E402
+
+if "--f64" in sys.argv:
+    # the axon plugin overrides JAX_PLATFORMS, so force CPU via the config
+    # (effective until the backend first initialises — i.e. here)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # parity mode: full-f32 MXU accumulation (the TPU default is bf16-ish
 # passes, see .claude/skills/verify gotchas)
@@ -80,7 +98,7 @@ def model_config(d_model=512, head=8, d_ff=2048, layers=3, d_feature=1024):
         {
             "ARCHITECTURE": "StandardTransformerUsingRegion",
             "NAME": "parity_d512",
-            "DEVICE": "tpu",
+            "DEVICE": "cpu",  # torch reference instantiates torch.device(DEVICE); flax side ignores it
             "VISION_EMBEDDING": {
                 "ARCHITECTURE": "FeatureEmbedding",
                 "D_FEATURE": d_feature,
@@ -124,7 +142,12 @@ def main():
     ap.add_argument("--bs", type=int, default=16)
     ap.add_argument("--regions", type=int, default=50)
     ap.add_argument("--vocab", type=int, default=10000)
+    ap.add_argument("--f64", action="store_true",
+                    help="float64 on CPU: assert EXACT beam-5 token parity")
     args = ap.parse_args()
+    if args.f64:
+        assert jax.config.jax_enable_x64
+        assert jax.default_backend() == "cpu", jax.default_backend()
 
     t0 = time.time()
 
@@ -146,11 +169,14 @@ def main():
         cfg, vocab
     )
     ref_model.eval()
+    if args.f64:
+        ref_model.double()
     log(f"reference model built ({sum(p.numel() for p in ref_model.parameters())/1e6:.1f}M params)")
 
     rng = np.random.default_rng(0)
     feats = rng.normal(size=(args.bs, args.regions, 1024)).astype(np.float32)
-    t_batch = Instance(region_features=torch.tensor(feats))
+    t_feats = torch.tensor(feats.astype(np.float64) if args.f64 else feats)
+    t_batch = Instance(region_features=t_feats)
 
     with torch.no_grad():
         t1 = time.time()
@@ -178,6 +204,38 @@ def main():
     assert set(unused) <= {"decoder.pos_emb.weight"}, unused
     log("weights transplanted")
 
+    if args.f64:
+        # float64 on CPU: numeric noise (~1e-13) is far below any candidate
+        # boundary gap, so BOTH greedy and beam-5 must match token-exactly —
+        # this is the algorithmic-parity-at-scale assertion.
+        dd = jnp.float64
+        batch64 = {"region_features": jnp.asarray(feats, dd)}
+        t1 = time.time()
+        g64, _ = beam_search(
+            model, params, batch64, beam_size=1, out_size=1, compute_dtype=dd
+        )
+        g64 = np.asarray(g64)
+        log(f"f64 greedy done ({time.time()-t1:.1f}s incl. compile)")
+        t1 = time.time()
+        b64, b64_lp = beam_search(
+            model, params, batch64, beam_size=5, out_size=5, compute_dtype=dd
+        )
+        b64 = np.asarray(b64)
+        log(f"f64 beam-5 done ({time.time()-t1:.1f}s incl. compile)")
+        g_eq = (g64 == ref_greedy.numpy()).mean()
+        b_eq = (b64 == ref_beam.numpy()).mean()
+        lp_d = float(np.max(np.abs(np.asarray(b64_lp) - ref_beam_lp.numpy())))
+        log(f"f64 vs torch: greedy tokens {g_eq:.4%} equal, "
+            f"beam-5 tokens {b_eq:.4%} equal, max |dlogp| {lp_d:.3e}")
+        assert g_eq == 1.0, "greedy f64 token parity FAILED"
+        assert b_eq == 1.0, "beam-5 f64 token parity FAILED"
+        print(
+            "PARITY_D512_F64 "
+            f"{{\"greedy_f64_parity\": true, \"beam5_f64_parity\": true, "
+            f"\"max_dlogp\": {lp_d:.3e}}}"
+        )
+        return
+
     # f32 parity path
     t1 = time.time()
     got_greedy, got_greedy_lp = beam_search(
@@ -192,17 +250,80 @@ def main():
     got_beam = np.asarray(got_beam)
     log(f"tpu f32 beam-5 done ({time.time()-t1:.1f}s incl. compile)")
 
-    # --- assertions: f32 token parity ---------------------------------------
+    # --- assertions: f32 parity ---------------------------------------------
+    # Greedy is argmax-robust: assert exact token equality.  Beam-5 at
+    # RANDOM-INIT d512 is tie-fragile — the 10k-way logits are near-uniform,
+    # so candidate scores are degenerate at the f32 noise floor and the two
+    # searches may legitimately keep different near-tied beams.  The
+    # meaningful parity statement is SCORE equivalence: rescoring both beam
+    # sets under the SAME scorer (the torch reference, teacher-forced — the
+    # reference's own accumulation rule: sum of token log-probs through the
+    # first <eos>, models/modules/beam_search.py:50-57) must give rank-wise
+    # identical score profiles up to f32 cross-backend noise.
     greedy_eq = got_greedy == ref_greedy.numpy()
-    beam_eq = got_beam == ref_beam.numpy()
-    lp_d = float(np.max(np.abs(np.asarray(got_beam_lp) - ref_beam_lp.numpy())))
+    row_eq = (got_beam == ref_beam.numpy()).all(axis=-1)
     log(
         f"f32 vs torch: greedy tokens {greedy_eq.mean():.4%} equal, "
-        f"beam-5 tokens {beam_eq.mean():.4%} equal, "
-        f"max |dlogp| {lp_d:.3e}"
+        f"beam-5 rows {row_eq.mean():.4%} identical"
     )
     assert greedy_eq.all(), "greedy f32 token parity FAILED"
-    assert beam_eq.all(), "beam-5 f32 token parity FAILED"
+
+    def torch_rescore(seqs):
+        """Total log-prob of each (bs, k, L) sequence under the torch model."""
+        bs, k, L = seqs.shape
+        flat = seqs.reshape(bs * k, L).astype(np.int64)
+        inp = np.concatenate(
+            [np.full((bs * k, 1), vocab.bos_idx, np.int64), flat[:, :-1]], 1
+        )
+        rep = np.repeat(feats, k, axis=0)
+        with torch.no_grad():
+            out = ref_model(
+                Instance(
+                    region_features=torch.tensor(rep),
+                    caption_tokens=torch.tensor(inp),
+                )
+            )
+        lp = (
+            out.gather(-1, torch.tensor(flat).unsqueeze(-1))
+            .squeeze(-1)
+            .numpy()
+        )
+        # accumulate through the first <eos> (inclusive), like the beam
+        fin = np.cumsum(flat == vocab.eos_idx, axis=1)
+        live = np.concatenate(
+            [np.ones((bs * k, 1), bool), fin[:, :-1] == 0], axis=1
+        )
+        return (lp * live).sum(axis=1).reshape(bs, k)
+
+    ref_scores = torch_rescore(ref_beam.numpy())
+    got_scores = torch_rescore(got_beam)
+    # noise floor: repo-accumulated total vs torch rescore of the SAME seqs
+    got_lp_np = np.asarray(got_beam_lp)
+    fin = np.cumsum(got_beam == vocab.eos_idx, axis=-1)
+    live = np.concatenate(
+        [np.ones(got_beam.shape[:2] + (1,), bool), fin[..., :-1] == 0], axis=-1
+    )
+    repo_totals = (got_lp_np * live).sum(axis=-1)
+    noise = float(np.max(np.abs(repo_totals - got_scores)))
+    # rank-wise score equivalence (each search's r-th best is equally good)
+    rank_gap = float(np.max(np.abs(ref_scores - got_scores)))
+    log(
+        f"beam-5 f32 score equivalence: rank-wise |d score| max {rank_gap:.3e} "
+        f"(cross-backend scoring noise on identical seqs: {noise:.3e})"
+    )
+    # A near-tie flipped mid-search amplifies (the excluded candidate's
+    # continuation drifts), so the END-state gap bound is loose — the exact
+    # decision-level parity statement is the --f64 run's job.  Measured
+    # 2026-08-17 on the real chip: rows 93.75% identical, rank gap 2.9e-2,
+    # noise floor 6.3e-4.
+    assert row_eq.mean() >= 0.85, (
+        f"beam-5 f32 row identity {row_eq.mean():.2%} — too low for "
+        "tie-flip divergence; suspect a real algorithmic difference"
+    )
+    assert rank_gap < 0.1, (
+        f"beam-5 f32 rank gap {rank_gap:.3e} exceeds the tie-amplification "
+        "bound; suspect a real algorithmic difference"
+    )
 
     # --- report: bf16 fast path agreement ------------------------------------
     t1 = time.time()
@@ -230,8 +351,10 @@ def main():
     )
     print(
         "PARITY_ONCHIP_D512 "
-        f"{{\"greedy_f32_parity\": true, \"beam5_f32_parity\": true, "
-        f"\"max_dlogp\": {lp_d:.3e}, "
+        f"{{\"greedy_f32_parity\": true, "
+        f"\"beam5_row_identity\": {row_eq.mean():.6f}, "
+        f"\"beam5_rank_score_gap\": {rank_gap:.3e}, "
+        f"\"scoring_noise_floor\": {noise:.3e}, "
         f"\"bf16_greedy_token_agreement\": {g_rate:.6f}, "
         f"\"bf16_beam5_token_agreement\": {b_rate:.6f}, "
         f"\"bf16_greedy_seq_agreement\": {g_seq:.6f}, "
