@@ -195,6 +195,10 @@ class CaptionServer:
                 except Exception as e:
                     self._reply(400, {"error": str(e)})
 
+        # raise the accept backlog above http.server's default 5 so a
+        # burst of concurrent clients doesn't get connection-refused
+        # (observed with 32 simultaneous bench clients)
+        ThreadingHTTPServer.request_queue_size = 128
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
 

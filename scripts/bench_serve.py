@@ -135,14 +135,25 @@ def _proc_client(url: str, bodies: list, conn) -> None:
     """HTTP client run in a separate PROCESS: posts pre-serialized bodies
     sequentially, returns latencies through a pipe."""
     lats = []
-    for body in bodies:
-        req = urllib.request.Request(url, data=body, method="POST")
-        t0 = time.perf_counter()
-        with urllib.request.urlopen(req, timeout=600) as resp:
-            resp.read()
-        lats.append(time.perf_counter() - t0)
-    conn.send(lats)
-    conn.close()
+    try:
+        for body in bodies:
+            req = urllib.request.Request(url, data=body, method="POST")
+            t0 = time.perf_counter()
+            for attempt in range(5):
+                # burst connects can still be refused under load; retry
+                # rather than dying (a dead client truncates the bench)
+                try:
+                    with urllib.request.urlopen(req, timeout=600) as resp:
+                        resp.read()
+                    break
+                except OSError:
+                    if attempt == 4:
+                        raise
+                    time.sleep(0.05 * (attempt + 1))
+            lats.append(time.perf_counter() - t0)
+    finally:
+        conn.send(lats)
+        conn.close()
 
 
 def _run_thread_mode(url, post) -> tuple:
@@ -187,11 +198,17 @@ def _run_procs_mode(url) -> tuple:
     for p in procs:
         p.start()
     latencies = []
+    dead = 0
     for rx in pipes:
-        latencies.extend(rx.recv())
+        try:
+            latencies.extend(rx.recv())
+        except EOFError:  # a client died; count it rather than crash
+            dead += 1
     wall = time.perf_counter() - t0
     for p in procs:
         p.join()
+    if dead:
+        print(f"WARNING: {dead}/{len(pipes)} client processes died", flush=True)
     return latencies, wall
 
 
