@@ -136,7 +136,7 @@ def make_sharded_xe_step(model, optimizer, mesh: Mesh):
     return jax.jit(xe_step, donate_argnums=(0,))
 
 
-def shard_state(state, mesh: Mesh, optimizer=None):
+def shard_state(state, mesh: Mesh, optimizer=None, trainable_mask=None):
     """Place a train-state pytree onto the mesh.
 
     Params follow ``param_shardings`` (TP rules when the mesh has a
@@ -156,11 +156,22 @@ def shard_state(state, mesh: Mesh, optimizer=None):
     params_def = jax.tree.structure(state["params"])
 
     if optimizer is not None:
+        # an optax.masked optimizer (frozen-backbone models) stores
+        # MaskedNode at frozen positions of its param-shaped subtrees; the
+        # sharding tree passed alongside must collapse to the same empty
+        # nodes there or tree_map_params' flatten_up_to rejects it
+        p_sh_opt = p_sh
+        if trainable_mask is not None:
+            p_sh_opt = jax.tree.map(
+                lambda keep, sh: sh if keep else optax.MaskedNode(),
+                trainable_mask,
+                p_sh,
+            )
         opt_state = optax.tree_map_params(
             optimizer,
             lambda leaf, sh: jax.device_put(leaf, sh),
             state["opt_state"],
-            p_sh,
+            p_sh_opt,
             transform_non_params=lambda leaf: jax.device_put(leaf, repl),
         )
     else:

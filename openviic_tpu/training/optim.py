@@ -34,3 +34,43 @@ def make_optimizer(d_model: int, warmup: int, base_lr: float = 1.0):
 def make_rl_optimizer(rl_learning_rate: float):
     """Fresh Adam at a fixed LR for the SCST phase (vi_trainer.py:204)."""
     return optax.adam(learning_rate=rl_learning_rate, b1=0.9, b2=0.999)
+
+
+def frozen_param_mask(params):
+    """True for trainable leaves, False for frozen ones.
+
+    The only frozen subtree in the model zoo is the pretrained
+    language-model backbone (reference language_models.py:19-21 sets
+    ``requires_grad=False``; here the forward wraps it in
+    ``stop_gradient``, models/language_models.py).  Its gradients are
+    structurally zero, so Adam moments for it are pure waste — ~49M
+    params of f32 m+v for a phobert-base backbone, which tripled RSTNet
+    checkpoint size and dominated per-epoch save time before masking.
+    Returns None when nothing is frozen (callers keep the plain
+    optimizer so existing checkpoints/state trees are untouched)."""
+    import jax
+
+    leaves_with_path = jax.tree_util.tree_leaves_with_path(params)
+    frozen = [
+        any(
+            getattr(k, "key", None) == "backbone"
+            or (isinstance(getattr(k, "key", None), str)
+                and getattr(k, "key").startswith("backbone"))
+            for k in path
+        )
+        for path, _ in leaves_with_path
+    ]
+    if not any(frozen):
+        return None
+    _, treedef = jax.tree_util.tree_flatten(params)
+    return jax.tree_util.tree_unflatten(treedef, [not f for f in frozen])
+
+
+def mask_frozen(optimizer, params):
+    """Wrap ``optimizer`` with ``optax.masked`` over the trainable leaves
+    when the param tree contains a frozen backbone; no-op otherwise (the
+    state tree stays byte-identical for models without frozen parts)."""
+    mask = frozen_param_mask(params)
+    if mask is None:
+        return optimizer
+    return optax.masked(optimizer, mask)

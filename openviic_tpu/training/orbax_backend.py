@@ -61,10 +61,15 @@ class OrbaxBackend:
         self._ckptr = ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
 
     def save_checkpoint(
-        self, path: str, state: Dict[str, Any], extras: Dict[str, Any]
+        self, path: str, state: Dict[str, Any], extras: Dict[str, Any],
+        frozen_mask=None,
     ) -> None:
         """Save asynchronously to ``<path>.staging``; the committed staging
         dir is swapped into ``path`` at the next sync point (``wait``).
+
+        ``frozen_mask`` (the native backend's frozen-split) is accepted
+        but ignored: the async writer already overlaps the device→host
+        fetch with training, so the split's win is much smaller here.
 
         Orbax's ``force=True`` deletes the destination *before* the async
         commit lands, which would leave no resume point if the process died

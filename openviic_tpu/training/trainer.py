@@ -44,7 +44,11 @@ from openviic_tpu.data.vocab import Vocab
 from openviic_tpu.decoding import BeamSearcher
 from openviic_tpu.evaluation import Cider, PTBTokenizer, compute_scores
 from openviic_tpu.training import checkpoint as ckpt
-from openviic_tpu.training.optim import make_optimizer, make_rl_optimizer
+from openviic_tpu.training.optim import (
+    make_optimizer,
+    make_rl_optimizer,
+    mask_frozen,
+)
 from openviic_tpu.training.optim import noam_schedule
 from openviic_tpu.training.steps import (
     make_eval_loss_step,
@@ -226,6 +230,14 @@ class BaseTrainer:
             warmup=self.warmup,
             base_lr=config.TRAINING.LEARNING_RATE,
         )
+        # frozen pretrained-LM backbones (RSTNet) get no Adam moments:
+        # their grads are structurally zero (stop_gradient), and carrying
+        # f32 m+v for ~49M phobert params tripled checkpoint size and
+        # per-epoch save time.  No-op for models without a backbone.
+        from openviic_tpu.training.optim import frozen_param_mask
+
+        self._frozen_mask = frozen_param_mask(params)
+        self.optimizer = mask_frozen(self.optimizer, params)
         self.lr_schedule = noam_schedule(
             config.MODEL.ENCODER.D_MODEL, self.warmup, config.TRAINING.LEARNING_RATE
         )
@@ -239,7 +251,10 @@ class BaseTrainer:
             from openviic_tpu.parallel import make_sharded_xe_step
             from openviic_tpu.parallel.mesh import shard_state
 
-            self.state = shard_state(self.state, self.mesh, self.optimizer)
+            self.state = shard_state(
+                self.state, self.mesh, self.optimizer,
+                trainable_mask=self._frozen_mask,
+            )
             self.xe_step = make_sharded_xe_step(self.model, self.optimizer, self.mesh)
         else:
             self.xe_step = make_xe_step(
@@ -397,7 +412,9 @@ class BaseTrainer:
 
     def _ensure_scst(self, reset_opt: bool = True) -> None:
         if self.scst_step is None:
-            rl_optimizer = make_rl_optimizer(self.rl_learning_rate)
+            rl_optimizer = mask_frozen(
+                make_rl_optimizer(self.rl_learning_rate), self.state["params"]
+            )
             if reset_opt:
                 self.state["opt_state"] = rl_optimizer.init(self.state["params"])
             self.scst_step = make_scst_grad_step(
@@ -609,6 +626,7 @@ class BaseTrainer:
             os.path.join(self.checkpoint_path, self._ckpt_io.LAST_NAME),
             self.state,
             {"epoch": self.epoch, "loader_epochs": loader_epochs, **extras},
+            frozen_mask=self._frozen_mask,
         )
 
     def load_checkpoint(self, fname: str) -> Optional[Dict]:

@@ -510,3 +510,88 @@ def test_grain_loader_with_max_regions(tmp_path_factory, tiny_dataset_dir):
     assert batch["region_features"].shape[1] == 48
     loss = tr.train()
     assert np.isfinite(loss)
+
+
+def test_frozen_backbone_masked_optimizer_and_split_checkpoint(
+    tmp_path_factory, tiny_dataset_dir
+):
+    """RSTNet-style frozen LM backbones: (a) no Adam moments are allocated
+    for backbone params (their grads are structurally zero via
+    stop_gradient — carrying f32 m+v for a phobert-scale backbone tripled
+    checkpoint size); (b) the native checkpoint saves frozen leaves ONCE
+    (frozen_params.ckpt) and per-epoch files carry only trainable leaves;
+    (c) the split checkpoint roundtrips exactly, backbone included."""
+    import jax
+    import os
+    import pickle
+
+    from openviic_tpu.builders import build_trainer
+    from openviic_tpu.config import ConfigNode
+    from openviic_tpu.training.optim import frozen_param_mask
+    from tests.helpers import D_MODEL, attention_config, model_config
+
+    tmp = tmp_path_factory.mktemp("trainer_frozen_split")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    model = model_config(decoder="AdaptiveDecoder").to_dict()
+    model["DECODER"]["ADAPTIVE_ATTENTION"] = {
+        "SELF_ATTENTION": attention_config(
+            "AdaptiveScaledDotProductAttention", can_be_stateful=True
+        ),
+        "ENC_ATTENTION": attention_config("AdaptiveScaledDotProductAttention"),
+    }
+    model["DECODER"]["LANGUAGE_MODEL"] = {
+        "ARCHITECTURE": "PhoBERTModel",
+        "HIDDEN_SIZE": 16,
+        "D_MODEL": D_MODEL,
+        "MAX_LEN": 16,
+        "VOCAB_SIZE": 64,
+        "PADDING_IDX": 0,
+        "BACKBONE_LAYERS": 1,
+        "BACKBONE_HEADS": 2,
+        "ATTENTION": attention_config(),
+    }
+    cfg._data["MODEL"] = ConfigNode(model)
+    tr = build_trainer(cfg)
+
+    # (a) optimizer masking: no moment leaves for the backbone subtree
+    mask = frozen_param_mask(tr.state["params"])
+    assert mask is not None
+    n_trainable = sum(bool(m) for m in jax.tree.leaves(mask))
+    n_total = len(jax.tree.leaves(tr.state["params"]))
+    assert n_trainable < n_total
+    n_opt_arrays = len(
+        [x for x in jax.tree.leaves(tr.state["opt_state"]) if hasattr(x, "shape")]
+    )
+    # adam: m + v per trainable leaf (+ count scalars)
+    assert n_opt_arrays <= 2 * n_trainable + 2
+
+    # one step so moments are non-trivial, then save
+    loss = tr.train()
+    assert np.isfinite(loss)
+    tr.save_checkpoint({"patience": 0, "use_rl": False, "best_val_score": 0.0})
+
+    ckpt_dir = tr.checkpoint_path
+    frozen_file = os.path.join(ckpt_dir, "frozen_params.ckpt")
+    last_file = os.path.join(ckpt_dir, "last_model.ckpt")
+    assert os.path.isfile(frozen_file)
+    with open(last_file, "rb") as f:
+        payload = pickle.load(f)
+    assert payload["frozen_file"] == "frozen_params.ckpt"
+    assert payload["params"] is None
+    assert all("backbone" not in k for k in payload["params_trainable"])
+
+    # (c) roundtrip: params (incl. backbone) and opt_state equal
+    before = jax.tree.map(np.asarray, tr.state["params"])
+    before_opt = jax.tree.map(
+        np.asarray,
+        [x for x in jax.tree.leaves(tr.state["opt_state"]) if hasattr(x, "shape")],
+    )
+    tr.load_checkpoint(last_file)
+    after = jax.tree.map(np.asarray, tr.state["params"])
+    jax.tree.map(np.testing.assert_array_equal, before, after)
+    after_opt = jax.tree.map(
+        np.asarray,
+        [x for x in jax.tree.leaves(tr.state["opt_state"]) if hasattr(x, "shape")],
+    )
+    for b, a in zip(before_opt, after_opt):
+        np.testing.assert_array_equal(b, a)
