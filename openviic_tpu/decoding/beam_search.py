@@ -268,7 +268,14 @@ def beam_search(
 
     outputs: (bs, out_size, max_len) int32 (squeezed to (bs, max_len) when
     out_size == 1), log_probs likewise — matching the reference's return
-    convention (beam_search.py:109-118)."""
+    convention (beam_search.py:109-118).
+
+    ``train_dropout_rng``: when given, the encoder and every decode step
+    run with dropout ACTIVE (per-step rng = fold_in(rng, t)) — the
+    reference's SCST sampling mode, where ``beam_search`` executes under
+    ``model.train()`` (vi_trainer.py:126-132).  Enabled from the trainer
+    via ``TRAINING.SCST_SAMPLE_DROPOUT``.  The fused step kernels bypass
+    themselves in this mode (they do not implement dropout)."""
     vocab = model.vocab
     max_len = vocab.max_caption_length
     eos_idx = vocab.eos_idx
@@ -312,8 +319,16 @@ def beam_search(
         fast_select = False
 
     # 1) encode once at batch size, then broadcast to beams
+    enc_kwargs = {}
+    if train_dropout_rng is not None:
+        # dropout-active sampling: the encoder gets its own rng stream
+        # (fold index max_len never collides with a step index)
+        enc_kwargs = dict(
+            train=True,
+            rngs={"dropout": jax.random.fold_in(train_dropout_rng, max_len)},
+        )
     memory, memory_mask = model.apply(
-        params, batch, method=model.encoder_forward
+        params, batch, method=model.encoder_forward, **enc_kwargs
     )
     b_s = jax.tree.leaves(memory)[0].shape[0]
 
@@ -375,6 +390,12 @@ def beam_search(
                 t,
                 axis=2,
             )
+        step_kwargs = {}
+        if train_dropout_rng is not None:
+            step_kwargs = dict(
+                train=True,
+                rngs={"dropout": jax.random.fold_in(train_dropout_rng, t)},
+            )
         head, new_cache = model.apply(
             params,
             t,
@@ -386,6 +407,7 @@ def beam_search(
             "hidden" if head_kernel else fast_select,
             resident_kernel,
             method=model.decode_step,
+            **step_kwargs,
         )
         _, new_cache = _split_cache(new_cache)
         seq_logprob = carry["seq_logprob"]
@@ -652,8 +674,11 @@ class BeamSearcher:
         self.head_kernel = head_kernel
         self._compiled: Dict[Tuple[int, int], Any] = {}
 
-    def __call__(self, params, batch, beam_size: int, out_size: int = 1):
-        key = (beam_size, out_size)
+    def __call__(self, params, batch, beam_size: int, out_size: int = 1,
+                 dropout_rng: Optional[jax.Array] = None):
+        """``dropout_rng``: sample with dropout active (a traced argument —
+        a fresh rng per call re-uses the compiled program)."""
+        key = (beam_size, out_size, dropout_rng is not None)
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
                 functools.partial(
@@ -665,5 +690,9 @@ class BeamSearcher:
                     beam_resident=self.beam_resident,
                     head_kernel=self.head_kernel,
                 )
+            )
+        if dropout_rng is not None:
+            return self._compiled[key](
+                params, batch=batch, train_dropout_rng=dropout_rng
             )
         return self._compiled[key](params, batch=batch)

@@ -76,7 +76,7 @@ class BaseTransformer(nn.Module):
 
     def decode_step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
                     ancestry=None, beam_select=None, raw_head: bool = False,
-                    resident_kernel: bool = False):
+                    resident_kernel: bool = False, train: bool = False):
         kwargs = {}
         if beam_select is not None:
             # beam-resident decode (decoding/beam_search.py beam_resident):
@@ -87,5 +87,5 @@ class BaseTransformer(nn.Module):
                 kwargs["resident_kernel"] = True
         return self.decoder.step(
             t, tokens_t, cache, encoder_attention_mask, ancestry=ancestry,
-            raw_head=raw_head, **kwargs
+            raw_head=raw_head, train=train, **kwargs
         )

@@ -80,14 +80,19 @@ class DecoderLayer(nn.Module):
 
     def step(self, queries, layer_cache, decode_index, self_attention_mask,
              enc_attention_mask, ancestry=None, resident_kernel=False,
-             is_pad_t=None, **kwargs):
-        if resident_kernel and self._can_resident_step(kwargs, ancestry, is_pad_t):
+             is_pad_t=None, train: bool = False, **kwargs):
+        # ``train=True`` activates dropout during step decoding (SCST
+        # sampling parity: the reference beam-searches under model.train(),
+        # vi_trainer.py:126-132).  The fused Pallas step kernels do not
+        # implement dropout, so they are bypassed in that mode.
+        if (not train and resident_kernel
+                and self._can_resident_step(kwargs, ancestry, is_pad_t)):
             return self._resident_step(
                 queries, layer_cache, decode_index, self_attention_mask,
                 enc_attention_mask, ancestry, is_pad_t,
                 kwargs["beam_select"],
             )
-        if self._can_fuse_step(kwargs, ancestry):
+        if not train and self._can_fuse_step(kwargs, ancestry):
             return self._fused_step(
                 queries, layer_cache, decode_index,
                 self_attention_mask, enc_attention_mask,
@@ -96,14 +101,15 @@ class DecoderLayer(nn.Module):
             queries, queries, queries,
             attention_mask=self_attention_mask,
             cache=layer_cache["self"], decode_index=decode_index,
-            ancestry=ancestry, **kwargs,
+            ancestry=ancestry, train=train, **kwargs,
         )
         enc_att, _ = self.enc_attn(
             self_att, None, None,
             attention_mask=enc_attention_mask,
-            cache=layer_cache["cross"], static_cache=True, **kwargs,
+            cache=layer_cache["cross"], static_cache=True, train=train,
+            **kwargs,
         )
-        ff = self.pwff(enc_att, train=False)
+        ff = self.pwff(enc_att, train=train)
         new_cache = dict(layer_cache)
         new_cache["self"] = self_cache
         return ff, new_cache
@@ -290,12 +296,12 @@ class MeshedDecoderLayer(nn.Module):
         }
 
     def step(self, queries, layer_cache, decode_index, self_attention_mask,
-             enc_attention_mask, ancestry=None, **kwargs):
+             enc_attention_mask, ancestry=None, train: bool = False, **kwargs):
         self_att, self_cache = self.self_attn(
             queries, queries, queries,
             attention_mask=self_attention_mask,
             cache=layer_cache["self"], decode_index=decode_index,
-            ancestry=ancestry, **kwargs,
+            ancestry=ancestry, train=train, **kwargs,
         )
         enc_atts = []
         for ith in range(self.nlayers):
@@ -306,11 +312,11 @@ class MeshedDecoderLayer(nn.Module):
                     "k": layer_cache["cross"]["k"][:, ith],
                     "v": layer_cache["cross"]["v"][:, ith],
                 },
-                static_cache=True, **kwargs,
+                static_cache=True, train=train, **kwargs,
             )
             enc_atts.append(enc_att)
         out_att = self._fuse(self_att, enc_atts)
-        ff = self.pwff(out_att, train=False)
+        ff = self.pwff(out_att, train=train)
         new_cache = dict(layer_cache)
         new_cache["self"] = self_cache
         return ff, new_cache
@@ -427,13 +433,15 @@ class _DecoderBase(nn.Module):
 
     def step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
              ancestry=None, raw_head: bool = False, resident_kernel: bool = False,
-             **kwargs):
+             train: bool = False, **kwargs):
         """One decode step.  ``tokens_t``: (bs, 1) current input token.
 
         Returns (log_probs (bs, vocab), new_cache); with ``raw_head`` the
         first element is ``(logits (bs, vocab) f32, logsumexp (bs,))`` so
         the beam-search fast path can fold the log-softmax into selection
-        instead of materialising the full distribution."""
+        instead of materialising the full distribution.  ``train=True``
+        activates dropout per step (SCST sampling under model.train(),
+        vi_trainer.py:126-132) — callers must supply a "dropout" rng."""
         # In pure-XLA beam-resident mode the pad mask stays *raw* (each
         # slot's own rows) and is applied on the slot axis inside the
         # attention (attention.py mask_axis='p') — the per-q ancestry
@@ -450,11 +458,11 @@ class _DecoderBase(nn.Module):
         # it changes beam scores (caught by tests/test_reference_parity.py).
         is_pad = (tokens_t == self.padding_idx)[:, :1, None]  # (bs, 1, 1)
 
-        embedded, _ = self.word_emb(tokens_t, train=False)
+        embedded, _ = self.word_emb(tokens_t, train=train)
         # position index is t+1 regardless of pad (decoders.py:107-109)
         out = embedded + self.pos_table[t + 1][None, None, :].astype(embedded.dtype)
 
-        layer_kwargs = dict(kwargs)
+        layer_kwargs = dict(kwargs, train=train)
         if raw_mask:
             layer_kwargs["mask_axis"] = "p"
         if resident_kernel:
@@ -580,13 +588,14 @@ class AdaptiveDecoder(_DecoderBase):
         return jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
 
     def step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
-             ancestry=None, raw_head: bool = False, **kwargs):
+             ancestry=None, raw_head: bool = False, train: bool = False,
+             **kwargs):
         pad, self_mask = self._step_masks(tokens_t, t, cache, ancestry=ancestry)
         is_pad = (tokens_t == self.padding_idx)[:, :1, None]  # (bs, 1, 1)
 
         _, language_signals = self.language_model(tokens_t)
 
-        embedded, _ = self.word_emb(tokens_t, train=False)
+        embedded, _ = self.word_emb(tokens_t, train=train)
         out = embedded + self.pos_table[t + 1][None, None, :].astype(embedded.dtype)
 
         new_layers = []
@@ -597,6 +606,7 @@ class AdaptiveDecoder(_DecoderBase):
                 enc_attention_mask=encoder_attention_mask,
                 ancestry=ancestry,
                 language_signals=language_signals,
+                train=train,
             )
             out = jnp.where(is_pad, 0.0, out)
             new_layers.append(lc)

@@ -474,10 +474,23 @@ class BaseTrainer:
             return items, _device_batch(items, mesh)
 
         self._scst_sharded_steps = getattr(self, "_scst_sharded_steps", 0)
+        # TRAINING.SCST_SAMPLE_DROPOUT: sample with dropout active, exactly
+        # the reference's model.train() beam search (vi_trainer.py:126-132;
+        # MIGRATION.md deviation #2 becomes opt-in parity).  The rng derives
+        # from the checkpointed state rng (advanced by every scst_step), so
+        # sampling is deterministic across resume.
+        sample_dropout = bool(
+            self.config.TRAINING.get("SCST_SAMPLE_DROPOUT", False)
+        )
         pairs = device_prefetch(self.train_dict_dataloader, _scst_place)
         for items, batch in pairs:
+            sample_rng = (
+                jax.random.fold_in(self.state["rng"], 0x5C57)
+                if sample_dropout else None
+            )
             outs, _ = self.beam_searcher(
-                self.state["params"], batch, beam_size=beam, out_size=beam
+                self.state["params"], batch, beam_size=beam, out_size=beam,
+                dropout_rng=sample_rng,
             )
             bs = outs.shape[0]
             sampled_dev = outs.reshape(bs * beam, -1)
