@@ -247,7 +247,17 @@ class ScaledDotProductAttention(nn.Module, _ProjectionMixin):
              the slot axis — equivalent because position (q, t') only
              survives at slot p = ancestry[q, t'], and saves the
              take_along_axis pad resolve (a slow per-element gather on
-             TPU)."""
+             TPU).
+
+        Layout note: a (bs, h, q, slot*L)-score variant (joint
+        slot-position axis on the 128-wide lanes, head-batched
+        dot_generals) measures 21% faster *standalone*, but in the decode
+        loop the caches are while-carries with pinned layouts, so the
+        required transposes relayout the multi-MB caches every step and
+        the bench halves (measured round 3).  The einsum form below lets
+        XLA keep the carry layout; the lane-friendly layout win is
+        instead realised by the fused Pallas step kernel
+        (ops/beam_select_attention.py, ``attn_kernel=True``)."""
         b_s, n_beams, L = ancestry.shape
         h, d_k = q_t.shape[2], q_t.shape[3]
         qb = q_t.reshape(b_s, n_beams, h, d_k)
@@ -286,7 +296,12 @@ class ScaledDotProductAttention(nn.Module, _ProjectionMixin):
         mat-vecs into small matmuls.
 
         queries: (bs*beam, 1, d_model); k/v: (bs, M, h, d);
-        attention_mask: (bs, 1, 1, M) True = masked."""
+        attention_mask: (bs, 1, 1, M) True = masked.
+
+        (A head-batched dot_general variant with M on the lane axis was
+        measured round 3 and LOST in-loop — the k/v transposes are not
+        hoisted out of the decode while-loop, so they relayout the cross
+        cache every step.  The einsum form keeps the stored layout.)"""
         b_s, M = k.shape[0], k.shape[1]
         q = self.project_q(queries).reshape(b_s, n_beams, self.h, self.d_k)
         att = jnp.einsum(

@@ -1,6 +1,6 @@
 """Capture an xplane trace of the bench decode and print the top ops.
 
-Usage: python scripts/profile_decode.py [/tmp/decode_trace]
+Usage: python scripts/profile_decode.py [/tmp/decode_trace] [--head-kernel]
 """
 
 from __future__ import annotations
@@ -18,7 +18,9 @@ import numpy as np
 
 
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/decode_trace"
+    args = [a for a in sys.argv[1:] if a != "--head-kernel"]
+    head_kernel = "--head-kernel" in sys.argv[1:]
+    out_dir = args[0] if args else "/tmp/decode_trace"
 
     import bench
     from __graft_entry__ import _make_batch, _model_config, _tiny_vocab
@@ -40,6 +42,7 @@ def main():
     decode = jax.jit(functools.partial(
         beam_search, model, beam_size=bench.BEAM, out_size=1,
         compute_dtype=jnp.bfloat16, beam_resident=True,
+        head_kernel=head_kernel,
     ))
     for _ in range(2):
         np.asarray(decode(params, batch=batch)[0])
