@@ -31,7 +31,7 @@ reaches the same state through ``_expand_state``'s view/expand at t=0).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -261,7 +261,7 @@ def beam_search(
     fast_select: Optional[bool] = None,
     resident_kernel: bool = False,
     unroll: bool = False,
-    head_kernel: bool = False,
+    head_kernel: Union[bool, int] = False,
     _return_stream: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run batched beam search; returns (outputs, log_probs).
@@ -422,7 +422,13 @@ def beam_search(
             from openviic_tpu.ops.head_topk import head_topk
 
             fc_kernel = params["params"]["decoder"]["fc"]["kernel"]
-            vals, idxs, lse_rows = head_topk(head, fc_kernel, k=beam_size)
+            # head_kernel > 1 selects the row-blocked grid variant with
+            # that block size (weights VMEM-resident across grid steps) —
+            # lifts the single-block VMEM ceiling at very large batches
+            block = int(head_kernel) if int(head_kernel) > 1 else None
+            vals, idxs, lse_rows = head_topk(
+                head, fc_kernel, k=beam_size, block_rows=block
+            )
             s1_logit = vals.reshape(b_s, beam_size, beam_size)
             s1_words = idxs.reshape(b_s, beam_size, beam_size)
             lse = lse_rows.reshape(b_s, beam_size)

@@ -93,35 +93,79 @@ def _kernel(
     idxs_ref[:] = idxs
 
 
-def head_topk(x: jnp.ndarray, w: jnp.ndarray, k: int, tile: int = 2048):
+def head_topk(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    k: int,
+    tile: int = 2048,
+    block_rows: int | None = None,
+):
     """x: (N, D); w: (D, V) vocab head kernel (no bias, decoders.py:90).
 
-    Returns (vals (N, k) f32 raw logits, idxs (N, k) i32, lse (N,) f32)."""
+    Returns (vals (N, k) f32 raw logits, idxs (N, k) i32, lse (N,) f32).
+
+    ``block_rows``: process rows in grid blocks of this size.  The weight
+    block's index map is constant, so Mosaic keeps ``w`` VMEM-resident
+    across grid steps while row blocks double-buffer — the logits scratch
+    shrinks from (N, Vp) to (block, Vp) f32, lifting the single-block VMEM
+    ceiling (N*Vp*4 > vmem_limit at N >= ~2.4k) so batch can keep scaling.
+    ``None`` = single block (the round-3 default, fastest at N <= 1920)."""
     N, D = x.shape
     V = w.shape[1]
     Vp = -(-V // tile) * tile
     if Vp != V:
         w = jnp.pad(w, ((0, 0), (0, Vp - V)))
 
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        if _HAS_PLTPU and not _interpret()
+        else None
+    )
+    if block_rows is None or block_rows >= N:
+        kernel = functools.partial(_kernel, k=k, tile=tile, vocab=V)
+        vmem = (
+            pl.BlockSpec(memory_space=pltpu.VMEM) if _HAS_PLTPU else pl.BlockSpec()
+        )
+        vals, idxs, lse = pl.pallas_call(
+            kernel,
+            in_specs=[vmem, vmem],
+            out_specs=[vmem] * 3,
+            out_shape=[
+                jax.ShapeDtypeStruct((N, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct((N, _LANES), jnp.int32),
+                jax.ShapeDtypeStruct((N, _LANES), jnp.float32),
+            ],
+            scratch_shapes=(
+                [pltpu.VMEM((N, Vp), jnp.float32)] if _HAS_PLTPU else []
+            ),
+            compiler_params=compiler_params,
+            interpret=_interpret(),
+        )(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+        return vals[:, :k], idxs[:, :k], lse[:, 0]
+
+    NB = block_rows
+    Np = -(-N // NB) * NB
+    xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
     kernel = functools.partial(_kernel, k=k, tile=tile, vocab=V)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM) if _HAS_PLTPU else pl.BlockSpec()
+    out_spec = pl.BlockSpec((NB, _LANES), lambda i: (i, 0))
     vals, idxs, lse = pl.pallas_call(
         kernel,
-        in_specs=[vmem, vmem],
-        out_specs=[vmem] * 3,
+        grid=(Np // NB,),
+        in_specs=[
+            pl.BlockSpec((NB, D), lambda i: (i, 0)),
+            # constant index map: w stays VMEM-resident across grid steps
+            pl.BlockSpec((D, Vp), lambda i: (0, 0)),
+        ],
+        out_specs=[out_spec] * 3,
         out_shape=[
-            jax.ShapeDtypeStruct((N, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((N, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((N, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Np, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Np, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((Np, _LANES), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((N, Vp), jnp.float32)] if _HAS_PLTPU else []
+            [pltpu.VMEM((NB, Vp), jnp.float32)] if _HAS_PLTPU else []
         ),
-        compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if _HAS_PLTPU and not _interpret()
-            else None
-        ),
+        compiler_params=compiler_params,
         interpret=_interpret(),
-    )(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
-    return vals[:, :k], idxs[:, :k], lse[:, 0]
+    )(xp.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+    return vals[:N, :k], idxs[:N, :k], lse[:N, 0]

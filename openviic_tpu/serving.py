@@ -13,7 +13,7 @@ from __future__ import annotations
 import functools
 import os
 import pickle
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,7 @@ class CaptioningPipeline:
         batch_size: int = 32,
         use_bf16: bool = True,
         checkpoint_name: Optional[str] = None,
-        head_kernel: Optional[bool] = None,
+        head_kernel: Optional[Union[bool, int]] = None,
     ):
         self.config = config
         checkpoint_dir = checkpoint_dir or os.path.join(
@@ -51,10 +51,11 @@ class CaptioningPipeline:
         self.compute_dtype = jnp.bfloat16 if use_bf16 else None
         # fused head+top-k decode kernel (+14-20% on-chip, PERF.md round
         # 3); defaults to the config's TRAINING.DECODE_HEAD_KERNEL
-        self.head_kernel = bool(
+        # (bool, or an int > 1 for the row-blocked variant's block size)
+        self.head_kernel = (
             config.TRAINING.get("DECODE_HEAD_KERNEL", False)
             if head_kernel is None else head_kernel
-        )
+        ) or False
 
         # initialise to get the param template, then load the checkpoint
         # through the configured backend (native pickle or orbax)

@@ -289,8 +289,10 @@ class BaseTrainer:
             self.model,
             compute_dtype=jnp.bfloat16 if decode_dtype == "bfloat16" else None,
             # fused head+top-k decode kernel (+14-20% on-chip, PERF.md
-            # round 3); off by default for strict reference parity
-            head_kernel=bool(config.TRAINING.get("DECODE_HEAD_KERNEL", False)),
+            # round 3); off by default for strict reference parity.  An
+            # int value > 1 selects the row-blocked variant with that
+            # block size (large-batch serving; ops/head_topk.py)
+            head_kernel=config.TRAINING.get("DECODE_HEAD_KERNEL", False) or False,
         )
         self.scst_step = None  # built lazily when switching to RL
         self.use_rl = False

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--beams", default="5,1")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batches", default="")
+    ap.add_argument("--blocks", default="",
+                    help="also scan row-blocked head-kernel variants with "
+                         "these block sizes (ops/head_topk.py block_rows)")
     args = ap.parse_args()
 
     import bench
@@ -71,10 +74,16 @@ def main():
                 dict(batch,
                      caption_tokens=np.zeros((bs, bench.MAX_LEN), np.int32)),
             )
-            for name, kw in [
+            variants = [
                 ("xla ", dict(beam_resident=True)),
                 ("head", dict(head_kernel=True)),
-            ]:
+            ]
+            if args.blocks:
+                variants += [
+                    (f"hb{nb:<4d}", dict(head_kernel=nb))
+                    for nb in (int(b) for b in args.blocks.split(","))
+                ]
+            for name, kw in variants:
                 decode = jax.jit(functools.partial(
                     beam_search, model, beam_size=beam, out_size=1,
                     compute_dtype=jnp.bfloat16, **kw,

@@ -268,3 +268,40 @@ def test_beam_search_multi_matches_single(tiny_vocab):
         np.testing.assert_allclose(
             np.asarray(got_l), np.asarray(ref_l), atol=1e-5
         )
+
+
+def test_head_topk_blocked_matches_single_block():
+    """ops/head_topk.py row-blocked grid variant: identical outputs to the
+    single-block kernel, including a ragged N that needs row padding."""
+    from openviic_tpu.ops.head_topk import head_topk
+
+    rng = np.random.default_rng(0)
+    D, V, k = 64, 777, 5
+    w = jnp.asarray(rng.normal(size=(D, V)), jnp.float32)
+    for N in (16, 40):  # 40 % 16 != 0 exercises the pad-rows path
+        x = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+        ref = head_topk(x, w, k=k, tile=256)
+        got = head_topk(x, w, k=k, tile=256, block_rows=16)
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]))
+
+
+def test_head_kernel_int_selects_blocked_variant(tiny_vocab):
+    """beam_search(head_kernel=<int>) routes through the row-blocked kernel
+    and stays token-identical to head_kernel=True."""
+    cfg = model_config()
+    model = build_model(cfg, tiny_vocab)
+    batch = make_batch(tiny_vocab, bs=3, seed=0)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    feats = {"region_features": batch["region_features"]}
+    ref_o, ref_l = beam_search(
+        model, params, feats, beam_size=5, out_size=5,
+        compute_dtype=jnp.bfloat16, head_kernel=True,
+    )
+    got_o, got_l = beam_search(
+        model, params, feats, beam_size=5, out_size=5,
+        compute_dtype=jnp.bfloat16, head_kernel=8,
+    )
+    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l), atol=1e-5)
