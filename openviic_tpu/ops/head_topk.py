@@ -38,6 +38,13 @@ except Exception:  # pragma: no cover
 _LANES = 128
 _NEG = -1e30
 
+# VMEM budget used to auto-select the row-blocked variant: the single-block
+# kernel needs an (N, Vp) f32 logits scratch + the (D, Vp) bf16 weights in
+# VMEM at once; past this many scratch bytes we switch to row blocks so the
+# weights stay resident while row blocks stream (vmem_limit is 100 MB).
+_AUTO_BLOCK_SCRATCH_BYTES = 80 * 1024 * 1024
+_AUTO_BLOCK_ROWS = 1024
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -109,12 +116,18 @@ def head_topk(
     across grid steps while row blocks double-buffer — the logits scratch
     shrinks from (N, Vp) to (block, Vp) f32, lifting the single-block VMEM
     ceiling (N*Vp*4 > vmem_limit at N >= ~2.4k) so batch can keep scaling.
-    ``None`` = single block (the round-3 default, fastest at N <= 1920)."""
+    ``None`` = single block (the round-3 default, fastest at N <= 1920),
+    unless the scratch would blow the VMEM budget — then the blocked
+    variant is auto-selected so ``head_kernel=True`` keeps working at any
+    batch size instead of failing at N >= ~2.2k."""
     N, D = x.shape
     V = w.shape[1]
     Vp = -(-V // tile) * tile
     if Vp != V:
         w = jnp.pad(w, ((0, 0), (0, Vp - V)))
+
+    if block_rows is None and N * Vp * 4 > _AUTO_BLOCK_SCRATCH_BYTES:
+        block_rows = _AUTO_BLOCK_ROWS
 
     compiler_params = (
         pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)

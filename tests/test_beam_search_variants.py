@@ -287,6 +287,28 @@ def test_head_topk_blocked_matches_single_block():
         np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]))
 
 
+def test_head_topk_auto_blocks_past_vmem_budget(monkeypatch):
+    """head_topk(block_rows=None) auto-selects the row-blocked variant when
+    the single-block logits scratch would exceed the VMEM budget, so
+    head_kernel=True keeps working at any batch size."""
+    import openviic_tpu.ops.head_topk as ht
+
+    rng = np.random.default_rng(1)
+    D, V, k, N = 64, 777, 5, 48
+    x = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(D, V)), jnp.float32)
+    ref = ht.head_topk(x, w, k=k, tile=256)
+    # shrink the budget so this N crosses it; auto block must kick in and
+    # stay output-identical (block 16 divides nothing about N=48 raggedly,
+    # but the pad path is covered by the blocked test above)
+    monkeypatch.setattr(ht, "_AUTO_BLOCK_SCRATCH_BYTES", 1)
+    monkeypatch.setattr(ht, "_AUTO_BLOCK_ROWS", 16)
+    got = ht.head_topk(x, w, k=k, tile=256)
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]))
+
+
 def test_head_kernel_int_selects_blocked_variant(tiny_vocab):
     """beam_search(head_kernel=<int>) routes through the row-blocked kernel
     and stays token-identical to head_kernel=True."""
