@@ -262,6 +262,7 @@ def beam_search(
     resident_kernel: bool = False,
     unroll: bool = False,
     head_kernel: Union[bool, int] = False,
+    attn_kernel: bool = False,
     _return_stream: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run batched beam search; returns (outputs, log_probs).
@@ -297,13 +298,14 @@ def beam_search(
             batch,
         )
 
-    if resident_kernel or head_kernel:
+    if resident_kernel or head_kernel or attn_kernel:
         # the fused Pallas kernels implement the beam-resident math
         beam_resident = True
     if beam_resident and not _supports_beam_resident(model):
         # decoders whose attention kernels lack the beam-select methods
         # (adaptive language-signal attention, etc.) use the default path
         beam_resident = resident_kernel = head_kernel = False
+        attn_kernel = False
         fast_select = False if fast_select is None else fast_select
     if beam_resident:
         # beam-resident mode: the KV caches are never reordered (ancestry
@@ -406,6 +408,7 @@ def beam_search(
             beam_size if beam_resident else None,
             "hidden" if head_kernel else fast_select,
             resident_kernel,
+            attn_kernel,
             method=model.decode_step,
             **step_kwargs,
         )
@@ -664,7 +667,7 @@ class BeamSearcher:
     """Caches jit-compiled beam search callables per (beam, out_size)."""
 
     def __init__(self, model, compute_dtype=None, beam_resident=True,
-                 head_kernel=False):
+                 head_kernel=False, attn_kernel=False):
         self.model = model
         self.compute_dtype = compute_dtype
         # beam-resident decode is token-identical to the default path and
@@ -678,6 +681,10 @@ class BeamSearcher:
         # token-identical).  Off by default for strict parity runs;
         # enable via TRAINING.DECODE_HEAD_KERNEL.
         self.head_kernel = head_kernel
+        # fused beam-select self-attention step kernel
+        # (ops/beam_select_attention.py); same numeric class as
+        # head_kernel.  Enable via TRAINING.DECODE_ATTN_KERNEL.
+        self.attn_kernel = attn_kernel
         self._compiled: Dict[Tuple[int, int], Any] = {}
 
     def __call__(self, params, batch, beam_size: int, out_size: int = 1,
@@ -695,6 +702,7 @@ class BeamSearcher:
                     compute_dtype=self.compute_dtype,
                     beam_resident=self.beam_resident,
                     head_kernel=self.head_kernel,
+                    attn_kernel=self.attn_kernel,
                 )
             )
         if dropout_rng is not None:

@@ -223,7 +223,8 @@ class ScaledDotProductAttention(nn.Module, _ProjectionMixin):
 
     # -- beam-resident decode (no physical beam reorder) -----------------
     def attend_projected_beam_select(
-        self, q_t, k, v, ancestry, position_mask, mask_axis: str = "q"
+        self, q_t, k, v, ancestry, position_mask, mask_axis: str = "q",
+        use_kernel: bool = False,
     ):
         """Self-attention decode step over *all* beams' unreordered caches.
 
@@ -257,7 +258,17 @@ class ScaledDotProductAttention(nn.Module, _ProjectionMixin):
         the bench halves (measured round 3).  The einsum form below lets
         XLA keep the carry layout; the lane-friendly layout win is
         instead realised by the fused Pallas step kernel
-        (ops/beam_select_attention.py, ``attn_kernel=True``)."""
+        (ops/beam_select_attention.py, ``use_kernel=True`` — threaded from
+        ``beam_search(attn_kernel=...)`` / ``TRAINING.DECODE_ATTN_KERNEL``)."""
+        if use_kernel:
+            from openviic_tpu.ops.beam_select_attention import (
+                beam_select_attention,
+            )
+
+            out = beam_select_attention(
+                q_t, k, v, ancestry, position_mask, mask_axis=mask_axis
+            )
+            return self.output(out)
         b_s, n_beams, L = ancestry.shape
         h, d_k = q_t.shape[2], q_t.shape[3]
         qb = q_t.reshape(b_s, n_beams, h, d_k)
@@ -547,6 +558,7 @@ class MultiHeadAttention(nn.Module):
         ancestry: Optional[jnp.ndarray] = None,
         beam_select: Optional[int] = None,
         mask_axis: str = "q",
+        attn_kernel: bool = False,
         **kwargs,
     ):
         if cache is None:
@@ -595,7 +607,9 @@ class MultiHeadAttention(nn.Module):
             # beam-resident: no gather at all — scores against every slot's
             # cache, ancestry one-hot selection inside the softmax
             out = self.attention.attend_projected_beam_select(
-                q_t, k, v, ancestry, attention_mask, mask_axis=mask_axis
+                q_t, k, v, ancestry, attention_mask, mask_axis=mask_axis,
+                use_kernel=attn_kernel and type(self.attention).__name__
+                == "ScaledDotProductAttention",
             )
             return self._finish(queries, out, train), {"k": k, "v": v}
         k_read, v_read = k, v

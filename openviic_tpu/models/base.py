@@ -76,7 +76,8 @@ class BaseTransformer(nn.Module):
 
     def decode_step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
                     ancestry=None, beam_select=None, raw_head: bool = False,
-                    resident_kernel: bool = False, train: bool = False):
+                    resident_kernel: bool = False, attn_kernel: bool = False,
+                    train: bool = False):
         kwargs = {}
         if beam_select is not None:
             # beam-resident decode (decoding/beam_search.py beam_resident):
@@ -85,6 +86,10 @@ class BaseTransformer(nn.Module):
             kwargs["beam_select"] = beam_select
             if resident_kernel:
                 kwargs["resident_kernel"] = True
+            if attn_kernel:
+                # fused beam-select self-attention step kernel
+                # (ops/beam_select_attention.py)
+                kwargs["attn_kernel"] = True
         return self.decoder.step(
             t, tokens_t, cache, encoder_attention_mask, ancestry=ancestry,
             raw_head=raw_head, train=train, **kwargs

@@ -56,6 +56,9 @@ class CaptioningPipeline:
             config.TRAINING.get("DECODE_HEAD_KERNEL", False)
             if head_kernel is None else head_kernel
         ) or False
+        # fused beam-select self-attention step kernel
+        # (ops/beam_select_attention.py)
+        self.attn_kernel = config.TRAINING.get("DECODE_ATTN_KERNEL", False) or False
 
         # initialise to get the param template, then load the checkpoint
         # through the configured backend (native pickle or orbax)
@@ -107,6 +110,7 @@ class CaptioningPipeline:
                     # (PERF.md round-2 decode optimisation)
                     beam_resident=True,
                     head_kernel=self.head_kernel,
+                    attn_kernel=self.attn_kernel,
                 )
             )
         return self._decode[key]

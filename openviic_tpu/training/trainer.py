@@ -293,6 +293,9 @@ class BaseTrainer:
             # int value > 1 selects the row-blocked variant with that
             # block size (large-batch serving; ops/head_topk.py)
             head_kernel=config.TRAINING.get("DECODE_HEAD_KERNEL", False) or False,
+            # fused beam-select self-attention step kernel
+            # (ops/beam_select_attention.py)
+            attn_kernel=config.TRAINING.get("DECODE_ATTN_KERNEL", False) or False,
         )
         self.scst_step = None  # built lazily when switching to RL
         self.use_rl = False

@@ -8,7 +8,7 @@ reshapes — see the module docstrings).  This script re-runs both at bench
 shapes on the real chip and prints a dated verdict line for PERF.md, so
 each toolchain drop gets a fresh data point.
 
-Usage:  python scripts/retry_resident_kernel.py
+Usage:  python scripts/retry_resident_kernel.py [batch_size]
 """
 
 from __future__ import annotations
@@ -43,7 +43,7 @@ def main():
 
     print(f"jax {jax.__version__}, jaxlib {jax.lib.__version__}, "
           f"backend {jax.default_backend()}, devices {jax.devices()}")
-    bs = 96  # modest batch: the kernels were designed pre-batch-320
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     vocab = _tiny_vocab(size=bench.VOCAB_SIZE, max_len=bench.MAX_LEN)
     config = _model_config(bench.D_MODEL, bench.HEADS, bench.LAYERS,
                            bench.D_FF, bench.D_FEATURE)
@@ -60,7 +60,12 @@ def main():
         "xla_beam_resident": dict(beam_resident=True),
         "resident_kernel": dict(resident_kernel=True),
         "head_topk_kernel": dict(head_kernel=True),
+        "attn_kernel": dict(attn_kernel=True),
+        "attn+head_kernel": dict(attn_kernel=True, head_kernel=True),
     }
+    if len(sys.argv) > 2:  # comma list selects a subset (compile time)
+        keep = sys.argv[2].split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
     results = {}
     times = {}
     for name, kw in variants.items():

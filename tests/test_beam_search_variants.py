@@ -327,3 +327,105 @@ def test_head_kernel_int_selects_blocked_variant(tiny_vocab):
     )
     np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
     np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l), atol=1e-5)
+
+
+def _beam_select_reference(q_t, k, v, ancestry, position_mask, mask_axis):
+    """The XLA einsum math of attend_projected_beam_select, pre-output
+    projection (models/attention.py) — the golden for the Pallas kernel."""
+    b_s, n_beams, L = ancestry.shape
+    h, d_k = q_t.shape[2], q_t.shape[3]
+    d_v = v.shape[3]
+    qb = q_t.reshape(b_s, n_beams, h, d_k).astype(jnp.float32)
+    kb = k.reshape(b_s, n_beams, L, h, d_k).astype(jnp.float32)
+    vb = v.reshape(b_s, n_beams, L, h, d_v).astype(jnp.float32)
+    att = jnp.einsum("bqhd,bpLhd->bqpLh", qb, kb) / jnp.sqrt(
+        jnp.asarray(d_k, jnp.float32)
+    )
+    onehot = (
+        ancestry[:, :, None, :]
+        == jnp.arange(n_beams, dtype=ancestry.dtype)[None, None, :, None]
+    )
+    if mask_axis == "p":
+        not_masked = ~position_mask.reshape(b_s, 1, n_beams, L)
+    else:
+        not_masked = ~position_mask.reshape(b_s, n_beams, 1, L)
+    live = jnp.logical_and(onehot, not_masked)
+    att = jnp.where(live[..., None], att, -jnp.inf)
+    att = jax.nn.softmax(att.reshape(b_s, n_beams, n_beams * L, h), axis=2)
+    att = att.reshape(b_s, n_beams, n_beams, L, h)
+    out = jnp.einsum("bqpLh,bpLhd->bqhd", att, vb)
+    return out.reshape(b_s * n_beams, 1, h, d_v)
+
+
+@pytest.mark.parametrize("mask_axis", ["p", "q"])
+def test_beam_select_attention_kernel_matches_einsum(mask_axis):
+    """ops/beam_select_attention.py: the fused QK+select+softmax+PV kernel
+    reproduces the XLA einsum path (incl. multi-block grids and a ragged
+    image count that forces a non-default block size)."""
+    from openviic_tpu.ops.beam_select_attention import beam_select_attention
+
+    rng = np.random.default_rng(7)
+    for b_s, beam, L, h, d_k, d_v, block in (
+        (3, 5, 7, 2, 4, 4, 1),   # multi-block, b_s prime
+        (4, 3, 6, 2, 4, 8, 2),   # d_v != d_k
+        (2, 5, 9, 4, 8, 8, None),  # auto block
+    ):
+        N = b_s * beam
+        q_t = jnp.asarray(rng.normal(size=(N, 1, h, d_k)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(N, L, h, d_k)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(N, L, h, d_v)), jnp.float32)
+        anc = jnp.asarray(rng.integers(0, beam, size=(b_s, beam, L)), jnp.int32)
+        # mask everything past a per-row length, plus scattered pads;
+        # position 0 always live
+        pmask = rng.random((N, L)) < 0.3
+        pmask[:, 0] = False
+        pmask = jnp.asarray(pmask).reshape(N, 1, 1, L)
+        ref = _beam_select_reference(q_t, k, v, anc, pmask, mask_axis)
+        got = beam_select_attention(
+            q_t, k, v, anc, pmask, mask_axis=mask_axis, block_images=block
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+
+def test_attn_kernel_matches_beam_resident(tiny_vocab):
+    """beam_search(attn_kernel=True) — the fused beam-select attention
+    step kernel — stays token-identical to the XLA beam-resident path."""
+    cfg = model_config()
+    model = build_model(cfg, tiny_vocab)
+    for seed in range(3):
+        batch = make_batch(tiny_vocab, bs=3, seed=seed)
+        params = model.init(jax.random.PRNGKey(seed), batch)
+        feats = {"region_features": batch["region_features"]}
+        ref_o, ref_l = beam_search(
+            model, params, feats, beam_size=5, out_size=5,
+            compute_dtype=jnp.bfloat16, beam_resident=True,
+        )
+        got_o, got_l = beam_search(
+            model, params, feats, beam_size=5, out_size=5,
+            compute_dtype=jnp.bfloat16, attn_kernel=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+        np.testing.assert_allclose(
+            np.asarray(got_l), np.asarray(ref_l), atol=1e-5
+        )
+
+
+def test_attn_kernel_composes_with_head_kernel(tiny_vocab):
+    """attn_kernel + head_kernel together (the tuned-config fast path)."""
+    cfg = model_config()
+    model = build_model(cfg, tiny_vocab)
+    batch = make_batch(tiny_vocab, bs=2, seed=1)
+    params = model.init(jax.random.PRNGKey(1), batch)
+    feats = {"region_features": batch["region_features"]}
+    ref_o, ref_l = beam_search(
+        model, params, feats, beam_size=5, out_size=5,
+        compute_dtype=jnp.bfloat16, head_kernel=True,
+    )
+    got_o, got_l = beam_search(
+        model, params, feats, beam_size=5, out_size=5,
+        compute_dtype=jnp.bfloat16, head_kernel=True, attn_kernel=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l), atol=1e-5)
