@@ -93,18 +93,27 @@ def bench_jax() -> tuple:
     throughput = JAX_BATCH * n_iters / dt
 
     # p50 per-image latency: single-image decode (BASELINE.md north-star
-    # row), timed to device completion (block_until_ready) — the host copy
-    # over this environment's remote-TPU tunnel is not representative of a
-    # co-located host
+    # row).  Timed as K back-to-back async dispatches with ONE final D2H
+    # sync, divided by K: TPU programs execute in order, so this bounds the
+    # per-call device execution time from above while excluding the
+    # tunnel's ~2-3 ms per-call round-trip tax (not representative of a
+    # co-located host).  Per-call block_until_ready is NOT usable here: on
+    # the current axon tunnel it returns without a device round-trip (a
+    # full bs=1 decode "finished" in 0.1 ms that way — see
+    # scripts/bench_latency.py for the methodology study and the
+    # wall-including-tunnel numbers).
     one = {"region_features": batch["region_features"][:1]}
     for _ in range(2):
         np.asarray(decode(params, batch=one)[0])
-    lat = []
-    for _ in range(30):
+    K = 30
+    reps = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        decode(params, batch=one)[0].block_until_ready()
-        lat.append(time.perf_counter() - t0)
-    p50_ms = float(np.median(lat) * 1e3)
+        for _ in range(K):
+            outs, _ = decode(params, batch=one)
+        np.asarray(outs)
+        reps.append((time.perf_counter() - t0) / K)
+    p50_ms = float(np.median(reps) * 1e3)
     return throughput, p50_ms
 
 
