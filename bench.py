@@ -102,6 +102,15 @@ def bench_jax() -> tuple:
     # full bs=1 decode "finished" in 0.1 ms that way — see
     # scripts/bench_latency.py for the methodology study and the
     # wall-including-tunnel numbers).
+    # single-image program: below the head kernel's win region (5 rows),
+    # so the latency row uses the XLA fast-select path (the same choice
+    # BeamSearcher's auto-gate makes)
+    decode = jax.jit(
+        functools.partial(
+            beam_search, model, beam_size=BEAM, out_size=1,
+            compute_dtype=jnp.bfloat16, beam_resident=True,
+        )
+    )
     one = {"region_features": batch["region_features"][:1]}
     for _ in range(2):
         np.asarray(decode(params, batch=one)[0])

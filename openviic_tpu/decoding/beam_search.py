@@ -663,6 +663,21 @@ def beam_search_multi(
     return [streams[i][2](finals[i]) for i in range(len(streams))]
 
 
+def _head_kernel_wins(b_s: int, beam_size: int) -> bool:
+    """Measured win region of the fused head+top-k kernel (PERF.md round 3,
+    2026-08-19): beam 5 wins from 480 rows (bs96 +12%, bs320 +20%); beam 3
+    needs ~960 rows (bs64/192 rows -18%, bs320/960 rows +16%); beam 1
+    (greedy, k=1) never won up to 512 rows (-2%..-31%).  Below the
+    boundary the kernel's per-grid-step overhead outweighs its fusion win
+    and the XLA fast-select path is faster."""
+    rows = b_s * beam_size
+    if beam_size >= 5:
+        return rows >= 480
+    if beam_size > 1:
+        return rows >= 960
+    return False
+
+
 class BeamSearcher:
     """Caches jit-compiled beam search callables per (beam, out_size)."""
 
@@ -680,6 +695,11 @@ class BeamSearcher:
         # differently (trained-checkpoint decode measured 100%
         # token-identical).  Off by default for strict parity runs;
         # enable via TRAINING.DECODE_HEAD_KERNEL.
+        #
+        # head_kernel=True is an AUTO gate, not a force: the kernel is
+        # used only inside its measured win region (_head_kernel_wins);
+        # smaller calls keep the XLA fast path.  An int value (the
+        # row-blocked variant) forces it unconditionally.
         self.head_kernel = head_kernel
         # fused beam-select self-attention step kernel
         # (ops/beam_select_attention.py); same numeric class as
@@ -687,11 +707,20 @@ class BeamSearcher:
         self.attn_kernel = attn_kernel
         self._compiled: Dict[Tuple[int, int], Any] = {}
 
+    def _effective_head_kernel(self, batch, beam_size: int):
+        """Resolve head_kernel=True per call: use the kernel only when
+        bs*beam reaches the measured win region (see __init__ comment)."""
+        if self.head_kernel is True:
+            b_s = jax.tree.leaves(batch)[0].shape[0]
+            return _head_kernel_wins(b_s, beam_size)
+        return self.head_kernel
+
     def __call__(self, params, batch, beam_size: int, out_size: int = 1,
                  dropout_rng: Optional[jax.Array] = None):
         """``dropout_rng``: sample with dropout active (a traced argument —
         a fresh rng per call re-uses the compiled program)."""
-        key = (beam_size, out_size, dropout_rng is not None)
+        head_kernel = self._effective_head_kernel(batch, beam_size)
+        key = (beam_size, out_size, dropout_rng is not None, head_kernel)
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
                 functools.partial(
@@ -701,7 +730,7 @@ class BeamSearcher:
                     out_size=out_size,
                     compute_dtype=self.compute_dtype,
                     beam_resident=self.beam_resident,
-                    head_kernel=self.head_kernel,
+                    head_kernel=head_kernel,
                     attn_kernel=self.attn_kernel,
                 )
             )

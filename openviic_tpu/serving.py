@@ -98,6 +98,18 @@ class CaptioningPipeline:
     def _decoder(self):
         key = (self.beam_size,)
         if key not in self._decode:
+            head_kernel = self.head_kernel
+            if head_kernel is True:
+                # auto-gate: the fused head+top-k kernel only wins with
+                # enough rows (beam_search._head_kernel_wins); serving
+                # pads every call to self.batch_size, so resolve it here
+                from openviic_tpu.decoding.beam_search import (
+                    _head_kernel_wins,
+                )
+
+                head_kernel = _head_kernel_wins(
+                    self.batch_size, self.beam_size
+                )
             self._decode[key] = jax.jit(
                 functools.partial(
                     beam_search,
@@ -109,7 +121,7 @@ class CaptioningPipeline:
                     # token-identical to the default path and ~2x faster
                     # (PERF.md round-2 decode optimisation)
                     beam_resident=True,
-                    head_kernel=self.head_kernel,
+                    head_kernel=head_kernel,
                     attn_kernel=self.attn_kernel,
                 )
             )

@@ -429,3 +429,29 @@ def test_attn_kernel_composes_with_head_kernel(tiny_vocab):
     )
     np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
     np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l), atol=1e-5)
+
+
+def test_head_kernel_auto_gate():
+    """BeamSearcher(head_kernel=True) resolves per call: the fused kernel
+    only engages inside its measured win region (PERF.md round 3 —
+    beam 5 from 480 rows, beam 3 from 960, never at beam 1); an int value
+    (row-blocked variant) is a forced override."""
+    from openviic_tpu.decoding.beam_search import (
+        BeamSearcher,
+        _head_kernel_wins,
+    )
+
+    assert _head_kernel_wins(96, 5) and _head_kernel_wins(320, 5)
+    assert not _head_kernel_wins(64, 5)  # 320 rows
+    assert _head_kernel_wins(320, 3) and not _head_kernel_wins(64, 3)
+    assert not _head_kernel_wins(512, 1) and not _head_kernel_wins(4096, 1)
+
+    s = BeamSearcher(model=None, head_kernel=True)
+    feats_small = {"x": np.zeros((2, 1))}
+    feats_big = {"x": np.zeros((96, 1))}
+    assert s._effective_head_kernel(feats_small, 5) is False
+    assert s._effective_head_kernel(feats_big, 5) is True
+    forced = BeamSearcher(model=None, head_kernel=64)
+    assert forced._effective_head_kernel(feats_small, 5) == 64
+    off = BeamSearcher(model=None, head_kernel=False)
+    assert off._effective_head_kernel(feats_big, 5) is False
