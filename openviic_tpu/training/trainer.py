@@ -654,6 +654,12 @@ class BaseTrainer:
         if loaded is None:
             return None
         logger.info("Loaded checkpoint from %s (epoch %s)", fname, loaded.get("epoch"))
+        if loaded["state"].get("opt_state") is None:
+            # migrated reference checkpoint (compat/migrate.py): torch Adam
+            # moments don't map to optax — keep the freshly-initialised
+            # optimizer state; the Noam schedule resumes from the saved step
+            logger.info("Checkpoint has no optimizer state; starting it fresh")
+            loaded["state"]["opt_state"] = self.state["opt_state"]
         self.state = loaded["state"]
         # restore yields host arrays; place params/opt_state on device once
         # — otherwise every post-resume eval decode re-uploads the full
