@@ -136,7 +136,6 @@ def bench_trained() -> dict:
     decoded captions actually score, so the headline row is backed by a
     real model, not random init."""
     import os
-    import pickle
 
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "saved_models", "signal_d512_bench")
@@ -148,39 +147,14 @@ def bench_trained() -> dict:
 
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scripts"))
-    from compare_training_vs_reference import shared_config
+    from trained_artifact import load_trained_artifact
 
-    from openviic_tpu.builders import build_model
     from openviic_tpu.decoding import beam_search
     from openviic_tpu.evaluation import Cider
 
-    with open(os.path.join(art, "vocab.bin"), "rb") as f:
-        vocab = pickle.load(f)
-    cfg = shared_config("/nonexistent", "/tmp/bench_trained", "bench",
-                        d_model=512, heads=8, layers=3, d_ff=2048)
-    model = build_model(cfg.MODEL, vocab)
-
-    nested: dict = {}
-    with np.load(os.path.join(art, "params_f16.npz")) as z:
-        for key in z.files:
-            node = nested
-            parts = key.split("/")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = jnp.asarray(z[key], jnp.float32)
-    params = nested
-
-    with np.load(os.path.join(art, "test_features.npz")) as z:
-        ids = list(z.files)
-        raw = [z[i].astype(np.float32) for i in ids]
-    # per-image region counts vary; zero-pad to the set max (all-zero rows
-    # are masked by the vision embedding's padding mask)
-    max_r = max(a.shape[0] for a in raw)
-    feats = np.zeros((len(raw), max_r, raw[0].shape[1]), np.float32)
-    for i, a in enumerate(raw):
-        feats[i, : a.shape[0]] = a
-    with open(os.path.join(art, "test_refs.json")) as f:
-        refs = json.load(f)
+    loaded = load_trained_artifact("/tmp/bench_trained")
+    model, params, vocab = loaded["model"], loaded["params"], loaded["vocab"]
+    feats, ids, refs = loaded["feats"], loaded["ids"], loaded["refs"]
 
     n = feats.shape[0]
     batch = {"region_features": jax.device_put(feats)}

@@ -317,8 +317,10 @@ def beam_search(
         fast_select = beam_resident
     if return_probs:
         # the full per-step distributions are requested — the fused
-        # selection path never materialises them
+        # selection paths (lse top-k and the head+top-k kernel) never
+        # materialise them
         fast_select = False
+        head_kernel = False
 
     # 1) encode once at batch size, then broadcast to beams
     enc_kwargs = {}

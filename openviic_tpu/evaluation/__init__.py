@@ -32,15 +32,28 @@ def _metrics():
     if os.environ.get("OPENVIIC_NATIVE", "1") != "0":
         try:
             from openviic_tpu import native
-            from openviic_tpu.evaluation.meteor15 import _paraphrase_table
+            from openviic_tpu.evaluation.meteor15 import (
+                _paraphrase_table,
+                _synonym_lines,
+            )
 
             if native.available():
                 cider = native.NativeCider()
                 if _paraphrase_table() is None:
-                    try:
+                    # the native scorer must also support every stage the
+                    # configured data activates — a stale (pre-round-3)
+                    # library lacks ov_meteor15_score_syn, and the bundled
+                    # synonym table makes that stage active by default, so
+                    # such a library stays on the Python scorer instead of
+                    # crashing at score time
+                    lib = native._load()
+                    needed = (
+                        "ov_meteor15_score_syn"
+                        if _synonym_lines()
+                        else "ov_meteor15_score"
+                    )
+                    if lib is not None and hasattr(lib, needed):
                         meteor = native.NativeMeteor15()
-                    except Exception:
-                        pass
         except Exception:
             pass
     return (Bleu(), meteor, Rouge(), cider)

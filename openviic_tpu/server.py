@@ -197,9 +197,12 @@ class CaptionServer:
 
         # raise the accept backlog above http.server's default 5 so a
         # burst of concurrent clients doesn't get connection-refused
-        # (observed with 32 simultaneous bench clients)
-        ThreadingHTTPServer.request_queue_size = 128
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        # (observed with 32 simultaneous bench clients); subclassed so the
+        # stdlib class is untouched for other servers in this process
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        self.httpd = _Server((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
 
     @property

@@ -33,6 +33,45 @@ def _flat_with_keys(tree):
     return [(jax.tree_util.keystr(p), v) for p, v in flat], treedef
 
 
+# frozen_params files already verified (or written) by this process —
+# the content check runs once per run, not once per epoch
+_VALIDATED_FROZEN: set = set()
+
+
+def _frozen_file_current(frozen_path: str, frozen: Dict[str, Any]) -> bool:
+    """True iff ``frozen_path`` exists and holds exactly ``frozen``.
+
+    A reused run directory can contain a stale frozen-backbone file from a
+    previous run (e.g. the per-epoch checkpoints were deleted but
+    ``frozen_params.ckpt`` was not, or a local stand-in backbone was
+    regenerated with different weights); silently reusing it would stitch
+    new trainable params onto the wrong backbone at load time.  Verified
+    once per process per path; mismatch -> caller rewrites the file."""
+    if frozen_path in _VALIDATED_FROZEN:
+        return True
+    if not os.path.exists(frozen_path):
+        return False
+    try:
+        with open(frozen_path, "rb") as f:
+            existing = pickle.load(f)
+        ok = set(existing) == set(frozen) and all(
+            np.array_equal(np.asarray(existing[k]), np.asarray(frozen[k]))
+            for k in frozen
+        )
+    except Exception:
+        ok = False
+    if ok:
+        _VALIDATED_FROZEN.add(frozen_path)
+    else:
+        from openviic_tpu.utils import setup_logger
+
+        setup_logger().warning(
+            "stale %s does not match the live frozen params; rewriting",
+            frozen_path,
+        )
+    return ok
+
+
 def save_checkpoint(path: str, state: Dict[str, Any], extras: Dict[str, Any],
                     frozen_mask=None) -> None:
     """Write the single-file checkpoint (atomically via tmp+rename).
@@ -61,11 +100,12 @@ def save_checkpoint(path: str, state: Dict[str, Any], extras: Dict[str, Any],
             assert key == mkey, (key, mkey)
             (trainable if keep else frozen)[key] = np.asarray(leaf)
         frozen_path = os.path.join(os.path.dirname(path) or ".", FROZEN_NAME)
-        if not os.path.exists(frozen_path):
+        if not _frozen_file_current(frozen_path, frozen):
             tmp = frozen_path + ".tmp"
             with open(tmp, "wb") as f:
                 pickle.dump(frozen, f)
             os.replace(tmp, frozen_path)
+            _VALIDATED_FROZEN.add(frozen_path)
         params_payload = {
             "params": None,
             "params_trainable": trainable,

@@ -55,8 +55,11 @@ def fused_nll(logits: jnp.ndarray, targets: jnp.ndarray, ignore_index: int):
     # stop_gradient on the max shift: its gradient contribution cancels
     # exactly, and removing it keeps the backward a single softmax fusion
     m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    # upcast BEFORE subtracting: bf16 - bf16 rounds to 8 mantissa bits,
+    # while f32 subtraction of two bf16-representable values is exact —
+    # only the latter matches the f32 log-softmax path bit-for-bit
     lse = m[..., 0].astype(f32) + jnp.log(
-        jnp.sum(jnp.exp((logits - m).astype(f32)), axis=-1)
+        jnp.sum(jnp.exp(logits.astype(f32) - m.astype(f32)), axis=-1)
     )
     picked = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
     keep = targets != ignore_index

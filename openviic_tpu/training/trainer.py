@@ -422,6 +422,25 @@ class BaseTrainer:
             )
             if reset_opt:
                 self.state["opt_state"] = rl_optimizer.init(self.state["params"])
+            else:
+                # resuming mid-SCST: keep the checkpoint's RL optimizer
+                # state, but only if it structurally matches the live
+                # (possibly frozen-masked) optimizer — a pre-masking
+                # checkpoint would crash the first SCST step otherwise
+                # (eval_shape: structure check without allocating moments)
+                expected = jax.eval_shape(
+                    rl_optimizer.init, self.state["params"]
+                )
+                if jax.tree_util.tree_structure(
+                    self.state["opt_state"]
+                ) != jax.tree_util.tree_structure(expected):
+                    logger.warning(
+                        "Mid-SCST checkpoint optimizer state does not match "
+                        "the live SCST optimizer structure; reinitialising"
+                    )
+                    self.state["opt_state"] = rl_optimizer.init(
+                        self.state["params"]
+                    )
             self.scst_step = make_scst_grad_step(
                 self.model, rl_optimizer, self.training_beam_size
             )
@@ -660,6 +679,27 @@ class BaseTrainer:
             # optimizer state; the Noam schedule resumes from the saved step
             logger.info("Checkpoint has no optimizer state; starting it fresh")
             loaded["state"]["opt_state"] = self.state["opt_state"]
+        elif not loaded.get("use_rl"):
+            # structure guard: an XE checkpoint written before frozen-
+            # backbone masking landed holds an unmasked Adam state that the
+            # now-masked optimizer cannot update — reinitialise rather than
+            # crash on the first step.  Compared against the XE optimizer's
+            # expected structure (eval_shape: no allocation), NOT the live
+            # state — the live trainer may legitimately be in the RL phase
+            # while loading an XE checkpoint.  Mid-SCST checkpoints are
+            # validated against the RL optimizer in _ensure_scst instead.
+            expected = jax.eval_shape(self.optimizer.init, self.state["params"])
+            if jax.tree_util.tree_structure(
+                loaded["state"]["opt_state"]
+            ) != jax.tree_util.tree_structure(expected):
+                logger.warning(
+                    "Checkpoint optimizer state does not match the XE "
+                    "optimizer structure (saved before frozen-param "
+                    "masking?); reinitialising the optimizer"
+                )
+                loaded["state"]["opt_state"] = self.optimizer.init(
+                    loaded["state"]["params"]
+                )
         self.state = loaded["state"]
         # restore yields host arrays; place params/opt_state on device once
         # — otherwise every post-resume eval decode re-uploads the full

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import pickle
 import sys
 import time
 
@@ -55,34 +54,10 @@ def _percentiles(samples):
 
 def _load_trained():
     """(model, params, vocab, feats) from the committed bench artifact."""
-    import jax.numpy as jnp
+    from trained_artifact import load_trained_artifact
 
-    from compare_training_vs_reference import shared_config
-
-    from openviic_tpu.builders import build_model
-
-    art = os.path.join(REPO, "saved_models", "signal_d512_bench")
-    with open(os.path.join(art, "vocab.bin"), "rb") as f:
-        vocab = pickle.load(f)
-    cfg = shared_config("/nonexistent", "/tmp/bench_latency", "bench",
-                        d_model=512, heads=8, layers=3, d_ff=2048)
-    model = build_model(cfg.MODEL, vocab)
-    nested: dict = {}
-    with np.load(os.path.join(art, "params_f16.npz")) as z:
-        for key in z.files:
-            node = nested
-            parts = key.split("/")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = jnp.asarray(z[key], jnp.float32)
-    with np.load(os.path.join(art, "test_features.npz")) as z:
-        ids = list(z.files)
-        raw = [z[i].astype(np.float32) for i in ids]
-    max_r = max(a.shape[0] for a in raw)
-    feats = np.zeros((len(raw), max_r, raw[0].shape[1]), np.float32)
-    for i, a in enumerate(raw):
-        feats[i, : a.shape[0]] = a
-    return model, nested, vocab, feats
+    loaded = load_trained_artifact("/tmp/bench_latency")
+    return loaded["model"], loaded["params"], loaded["vocab"], loaded["feats"]
 
 
 def main():

@@ -237,6 +237,27 @@ def test_head_kernel_matches_fast_select(tiny_vocab):
         )
 
 
+def test_head_kernel_with_return_probs_falls_back(tiny_vocab):
+    """return_probs needs the full per-step distributions, which the fused
+    head+top-k kernel never materialises — the flag must silently fall
+    back to the materialising path (regression: this combination used to
+    hit an unbound variable at trace time)."""
+    cfg = model_config()
+    model = build_model(cfg, tiny_vocab)
+    batch = make_batch(tiny_vocab, bs=2, seed=0)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    feats = {"region_features": batch["region_features"]}
+    ref_o, ref_l, ref_p = beam_search(
+        model, params, feats, beam_size=3, out_size=3, return_probs=True,
+    )
+    got_o, got_l, got_p = beam_search(
+        model, params, feats, beam_size=3, out_size=3, return_probs=True,
+        head_kernel=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p), atol=1e-5)
+
+
 def test_beam_search_multi_matches_single(tiny_vocab):
     """beam_search_multi (N independent streams fused into one while_loop
     for cross-batch op interleaving) must be token-identical to running

@@ -200,6 +200,84 @@ def test_label_smoothing_loss_values():
     np.testing.assert_allclose(float(ls0), float(nll), atol=1e-5)
 
 
+def test_stale_frozen_params_file_rewritten(tmp_path):
+    """A reused run dir with a frozen_params.ckpt from a DIFFERENT run
+    (e.g. a regenerated local backbone) must be rewritten, not silently
+    stitched onto the new run's trainable params."""
+    import pickle
+
+    import jax
+
+    from openviic_tpu.training import checkpoint as ckpt
+
+    def make_state(backbone_val):
+        params = {
+            "params": {
+                "backbone": {"w": np.full((2, 2), backbone_val, np.float32)},
+                "head": {"w": np.ones((2, 2), np.float32)},
+            }
+        }
+        mask = {"params": {"backbone": {"w": False}, "head": {"w": True}}}
+        return {
+            "params": params,
+            "opt_state": (np.zeros(1),),
+            "step": 0,
+            "rng": jax.random.PRNGKey(0),
+        }, mask
+
+    run = tmp_path / "run"
+    run.mkdir()
+    path = str(run / ckpt.LAST_NAME)
+    frozen_path = str(run / ckpt.FROZEN_NAME)
+
+    state1, mask = make_state(1.0)
+    ckpt.save_checkpoint(path, state1, {"epoch": 0}, frozen_mask=mask)
+    # simulate a fresh process starting a NEW run in the same dir with a
+    # different backbone (the per-run validation cache is per-process)
+    ckpt._VALIDATED_FROZEN.clear()
+    state2, mask = make_state(2.0)
+    ckpt.save_checkpoint(path, state2, {"epoch": 0}, frozen_mask=mask)
+
+    with open(frozen_path, "rb") as f:
+        frozen = pickle.load(f)
+    (backbone_leaf,) = [v for k, v in frozen.items() if "backbone" in k]
+    np.testing.assert_array_equal(backbone_leaf, np.full((2, 2), 2.0))
+
+    # and the full checkpoint round-trips to the NEW backbone
+    loaded = ckpt.load_checkpoint(path, state2["params"], None)
+    leaf = loaded["state"]["params"]["params"]["backbone"]["w"]
+    np.testing.assert_array_equal(np.asarray(leaf), np.full((2, 2), 2.0))
+
+    # unchanged saves skip the rewrite (validated-once fast path)
+    before = os.path.getmtime(frozen_path)
+    ckpt.save_checkpoint(path, state2, {"epoch": 1}, frozen_mask=mask)
+    assert os.path.getmtime(frozen_path) == before
+
+
+def test_fused_nll_matches_f32_log_softmax_on_bf16_logits():
+    """fused_nll's claim is bit-equality with nll_loss(log_softmax(f32));
+    that must hold for bf16 logits too (mixed-precision configs) — the
+    max-shift subtraction has to upcast BEFORE subtracting."""
+    import jax
+    import jax.numpy as jnp
+
+    from openviic_tpu.training.steps import fused_nll, nll_loss
+
+    rng = np.random.default_rng(0)
+    logits_f32 = jnp.asarray(
+        rng.normal(scale=4.0, size=(3, 7, 33)).astype(np.float32)
+    )
+    targets = jnp.asarray(rng.integers(0, 33, size=(3, 7)), jnp.int32)
+    for logits in (logits_f32, logits_f32.astype(jnp.bfloat16)):
+        ref = nll_loss(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+            targets,
+            ignore_index=0,
+        )
+        got = fused_nll(logits, targets, ignore_index=0)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-7)
+
+
 def test_checkpoint_across_phase_switch(tmp_path_factory, tiny_dataset_dir):
     """Regression: loading an XE-phase checkpoint from an RL-phase trainer
     (and vice versa) must work — the two phases have different optax state
@@ -234,6 +312,43 @@ def test_checkpoint_across_phase_switch(tmp_path_factory, tiny_dataset_dir):
     # resuming mid-RL keeps the loaded opt state
     tr2._ensure_scst(reset_opt=False)
     loss = tr2.train_scst()
+    assert np.isfinite(loss)
+
+
+def test_pre_masking_checkpoint_opt_state_reinitialised(
+    tmp_path_factory, tiny_dataset_dir
+):
+    """A checkpoint whose optimizer state doesn't structurally match the
+    live optimizer (e.g. saved before frozen-backbone masking wrapped it
+    in optax.masked) must resume with a fresh optimizer state instead of
+    crashing on the first training step."""
+    import pickle as pkl
+
+    import jax
+
+    from openviic_tpu.builders import build_trainer
+
+    tmp = tmp_path_factory.mktemp("trainer_optguard")
+    cfg = full_config(tmp, tiny_dataset_dir)
+    tr = build_trainer(cfg)
+    tr.train()
+    tr.save_checkpoint(
+        {"val_loss": 1.0, "best_val_score": 0.1, "patience": 0, "use_rl": False}
+    )
+    last = os.path.join(tr.checkpoint_path, "last_model.ckpt")
+    with open(last, "rb") as f:
+        payload = pkl.load(f)
+    payload["opt_state"] = {"legacy": payload["opt_state"]}  # alien structure
+    with open(last, "wb") as f:
+        pkl.dump(payload, f)
+
+    tr2 = build_trainer(cfg)
+    assert tr2.load_checkpoint(last) is not None
+    expected = jax.eval_shape(tr2.optimizer.init, tr2.state["params"])
+    assert jax.tree_util.tree_structure(
+        tr2.state["opt_state"]
+    ) == jax.tree_util.tree_structure(expected)
+    loss = tr2.train()  # the step must run with the reinitialised state
     assert np.isfinite(loss)
 
 
