@@ -2,7 +2,8 @@
 
 Usage:
   python predict.py --config-file configs/<cfg>.yaml \
-      [--features-dir DIR] [--output captions.json] [--beam N] [--batch N]
+      [--checkpoint-dir DIR] [--features-dir DIR] \
+      [--output captions.json] [--beam N] [--batch N]
 
 Loads the best checkpoint trained under the config's checkpoint path and
 captions every ``<image_id>.npy`` in the features directory (defaults to
@@ -18,6 +19,14 @@ import json
 def main() -> None:
     parser = argparse.ArgumentParser(description="OpenViIC-TPU batch captioning")
     parser.add_argument("--config-file", type=str, required=True)
+    parser.add_argument(
+        "--checkpoint-dir",
+        type=str,
+        default=None,
+        help="checkpoint directory (default: the config's "
+        "TRAINING.CHECKPOINT_PATH/MODEL.NAME; point at a migrated "
+        "reference run, see scripts/import_reference_checkpoint.py)",
+    )
     parser.add_argument("--features-dir", type=str, default=None)
     parser.add_argument("--output", type=str, default="captions.json")
     parser.add_argument("--beam", type=int, default=None)
@@ -31,6 +40,7 @@ def main() -> None:
     config = get_config(args.config_file)
     pipeline = CaptioningPipeline(
         config,
+        checkpoint_dir=args.checkpoint_dir,
         beam_size=args.beam,
         batch_size=args.batch,
         use_bf16=not args.f32,

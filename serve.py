@@ -2,7 +2,8 @@
 
 Usage:
   python serve.py --config-file configs/standard_transformer.yaml \
-      [--port 8080] [--beam 3] [--batch 32] [--backbone patch|hf:<model>]
+      [--checkpoint-dir DIR] [--port 8080] [--beam 3] [--batch 32] \
+      [--backbone patch|hf:<model>]
 
 Endpoints: POST /caption (raw image bytes), POST /caption_features
 (np.savez archive of plain arrays), GET /healthz.  See
@@ -26,6 +27,11 @@ from openviic_tpu.server import CaptionServer
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--config-file", required=True)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="checkpoint directory (default: the config's "
+                         "TRAINING.CHECKPOINT_PATH/MODEL.NAME; point at a "
+                         "migrated reference run, see "
+                         "scripts/import_reference_checkpoint.py)")
     ap.add_argument("--host", default="127.0.0.1",
                     help="bind address; 0.0.0.0 only behind a trusted proxy")
     ap.add_argument("--port", type=int, default=8080)
@@ -40,7 +46,8 @@ def main() -> None:
 
     config = get_config(args.config_file, args.opts)
     pipeline = CaptioningPipeline(
-        config, beam_size=args.beam, batch_size=args.batch
+        config, checkpoint_dir=args.checkpoint_dir,
+        beam_size=args.beam, batch_size=args.batch,
     )
     server = CaptionServer(
         pipeline, host=args.host, port=args.port,

@@ -388,6 +388,60 @@ def test_adam_moments_carried_across(ref, tmp_path):
     assert np.isfinite(float(loss_fn(params)))
 
 
+def test_continue_training_from_migrated_run(ref, tmp_path, tiny_dataset_dir):
+    """Full user flow: import a reference run into the trainer's
+    checkpoint dir, build the trainer, and keep training — the trainer
+    adopts the migrated vocab.bin, loads the converted weights, and runs
+    an XE epoch with a freshly-initialised optimizer."""
+    import os
+
+    from openviic_tpu.builders import build_trainer
+    from openviic_tpu.data import Vocab
+    from tests.test_trainer import full_config
+
+    cfg = full_config(tmp_path, tiny_dataset_dir)
+    vocab = Vocab(cfg.DATASET)
+    torch.manual_seed(0)
+    ref_model = ref.META_ARCHITECTURE.get("StandardTransformerUsingRegion")(
+        cfg.MODEL, vocab
+    )
+
+    run_dir = tmp_path / "reference_run"
+    run_dir.mkdir()
+    # the reference pickles its Vocab; here the native Vocab stands in
+    # (load_reference_vocab passes it through)
+    with open(run_dir / "vocab.bin", "wb") as f:
+        pickle.dump(vocab, f)
+    torch.save(
+        _reference_payload(ref_model, epoch=1, step_count=7),
+        run_dir / "best_model.pth",
+    )
+
+    report = import_reference_checkpoint(
+        cfg, str(run_dir / "best_model.pth"), write_last=True
+    )
+    # default out_dir == the trainer's checkpoint dir
+    assert report["out_dir"] == os.path.join(
+        str(tmp_path / "saved_models"), cfg.MODEL.NAME
+    )
+
+    tr = build_trainer(cfg)
+    assert tr.vocab.itos == vocab.itos  # adopted, not rebuilt differently
+    loaded = tr.load_checkpoint(
+        os.path.join(tr.checkpoint_path, ckpt.LAST_NAME)
+    )
+    assert loaded is not None and loaded["epoch"] == 1
+    # weights actually transplanted: decoder head matches the torch fc
+    got_fc = np.asarray(
+        tr.state["params"]["params"]["decoder"]["fc"]["kernel"]
+    )
+    np.testing.assert_allclose(
+        got_fc, ref_model.decoder.fc.weight.detach().numpy().T, atol=1e-6
+    )
+    loss = tr.train()  # continued XE training runs
+    assert np.isfinite(loss)
+
+
 class _FakeLenVocab:
     """Matches tests/test_reference_parity.FakeVocab (30 tokens, len 12)."""
 
