@@ -40,6 +40,13 @@ class CaptioningPipeline:
         head_kernel: Optional[Union[bool, int]] = None,
     ):
         self.config = config
+
+        # opt-in persistent XLA compile cache — serving rollouts skip the
+        # 20-40 s first-compile tax on restart (utils/compile_cache.py)
+        from openviic_tpu.utils import maybe_enable_compilation_cache
+
+        maybe_enable_compilation_cache(config)
+
         checkpoint_dir = checkpoint_dir or os.path.join(
             config.TRAINING.CHECKPOINT_PATH, config.MODEL.NAME
         )

@@ -79,6 +79,12 @@ class BaseTrainer:
     def __init__(self, config):
         self.config = config
 
+        # opt-in persistent XLA compile cache (TRAINING.COMPILATION_CACHE_DIR
+        # or OPENVIIC_COMPILE_CACHE) — must be set before the first compile
+        from openviic_tpu.utils import maybe_enable_compilation_cache
+
+        maybe_enable_compilation_cache(config)
+
         # TRAINING.RNG_IMPL: "threefry" (default; reproducible-everywhere
         # counter-based PRNG) or "rbg" — the TPU-native hardware RNG.
         # Threefry mask generation costs ~3 ms of the ~11 ms XE step at

@@ -1,0 +1,73 @@
+"""Persistent XLA compilation cache (opt-in).
+
+First compiles on this environment's TPU run 20-40 s per program (the
+trainer compiles XE, SCST, and the beam-search decode; serving compiles
+the decode per batch shape).  JAX's persistent compilation cache keys on
+the HLO fingerprint, so a second process with the same config skips
+straight to execution.  The reference has no equivalent (torch eager
+recompiles nothing but also caches nothing); this is TPU-operational
+polish: restarts, preemption-resume, and serving rollouts stop paying
+the compile tax.
+
+Enable via ``TRAINING.COMPILATION_CACHE_DIR: <dir>`` or the
+``OPENVIIC_COMPILE_CACHE=<dir>`` environment variable (the env var wins;
+set either to an empty string to force-disable).  Safe to call more than
+once; later calls with a different directory re-point the cache.
+"""
+
+from __future__ import annotations
+
+import os
+
+from openviic_tpu.utils.logging import setup_logger
+
+logger = setup_logger()
+
+_ENABLED_DIR: str | None = None
+
+
+def maybe_enable_compilation_cache(config=None) -> str | None:
+    """Enable JAX's persistent compilation cache if configured.
+
+    Returns the cache directory in use (or None when disabled).  Never
+    raises: on a jax build without the cache knobs this logs and returns
+    None, so the trainer/server keep working.
+    """
+    global _ENABLED_DIR
+
+    path = os.environ.get("OPENVIIC_COMPILE_CACHE")
+    if path is None and config is not None:
+        try:
+            path = config.TRAINING.get("COMPILATION_CACHE_DIR", None)
+        except AttributeError:
+            path = None
+    if not path:
+        return _ENABLED_DIR
+
+    path = os.path.abspath(os.path.expanduser(str(path)))
+    if _ENABLED_DIR == path:
+        return _ENABLED_DIR
+
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # default threshold is 1 s of compile time — the tiny-shape test/
+        # dryrun programs sit under it, and they are exactly the repeated
+        # compiles worth caching on this 1-CPU host
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        try:
+            # include XLA-level caches where the backend supports it
+            # (notably required for CPU-backend cache hits)
+            jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+        except Exception:  # older jax: flag absent — cache still works on TPU
+            pass
+    except Exception as exc:  # pragma: no cover - jax-version dependent
+        logger.warning("compilation cache unavailable (%s); continuing", exc)
+        return None
+
+    _ENABLED_DIR = path
+    logger.info("persistent compilation cache: %s", path)
+    return path
