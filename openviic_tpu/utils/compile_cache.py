@@ -53,10 +53,18 @@ def maybe_enable_compilation_cache(config=None) -> str | None:
 
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        # default threshold is 1 s of compile time — the tiny-shape test/
-        # dryrun programs sit under it, and they are exactly the repeated
-        # compiles worth caching on this 1-CPU host
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # Cache every executable by default (threshold 0).  Hit behavior
+        # verified on both backends: CPU-mesh trainer builds 2-5 of the
+        # multichip lifecycle dryrun come back from the cache, and on the
+        # axon TPU backend a warm flagship init+forward logs 146/146
+        # persistent-cache hits.  Wall-clock savings on THIS environment's
+        # remote-TPU tunnel are load-dominated and noisy (best observed
+        # warm start 7.5 s vs 240-320 s uncached, but a 100%-hit run can
+        # still spend ~245 s shipping/loading executables); on a
+        # co-located TPU host the deserialize is local and the cache
+        # removes the 20-40 s/program compile outright.
+        min_secs = float(os.environ.get("OPENVIIC_COMPILE_CACHE_MIN_SECS", 0.0))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         try:
             # include XLA-level caches where the backend supports it

@@ -21,6 +21,8 @@ def test_disabled_by_default():
 
 def test_enables_and_populates(tmp_path, monkeypatch):
     monkeypatch.delenv("OPENVIIC_COMPILE_CACHE", raising=False)
+    # the default 1 s compile-time threshold would skip this tiny program
+    monkeypatch.setenv("OPENVIIC_COMPILE_CACHE_MIN_SECS", "0")
     cache_dir = str(tmp_path / "xla_cache")
     got = maybe_enable_compilation_cache(_cfg(cache_dir))
     assert got == cache_dir
