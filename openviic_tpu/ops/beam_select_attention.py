@@ -201,6 +201,13 @@ def beam_select_attention(
     IB = block_images or _pick_block(
         b_s, n_beams, L, Dk, Dv, np.dtype(k.dtype).itemsize
     )
+    if b_s % IB != 0:
+        # grid=(b_s // IB,) would silently truncate: the trailing images'
+        # output rows would never be written and come back as garbage
+        raise ValueError(
+            f"block_images={IB} (arg or OPENVIIC_ATTN_BLOCK) must divide "
+            f"the image batch {b_s}"
+        )
     NB = IB * n_beams
     kernel = functools.partial(
         _kernel,

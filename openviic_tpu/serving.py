@@ -21,7 +21,6 @@ import numpy as np
 
 from openviic_tpu.builders import build_model
 from openviic_tpu.data.instance import Instance, InstanceList
-from openviic_tpu.decoding import beam_search
 from openviic_tpu.training import checkpoint as ckpt
 from openviic_tpu.utils import setup_logger
 
@@ -83,7 +82,7 @@ class CaptioningPipeline:
         self.params = jax.device_put(loaded["state"]["params"])
         logger.info("Loaded %s (epoch %s)", path, loaded.get("epoch"))
 
-        self._decode = {}
+        self._decode = None
 
     def _dummy_batch(self) -> Dict[str, jnp.ndarray]:
         vis = self.config.MODEL.VISION_EMBEDDING
@@ -103,36 +102,28 @@ class CaptioningPipeline:
         return batch
 
     def _decoder(self):
-        key = (self.beam_size,)
-        if key not in self._decode:
-            head_kernel = self.head_kernel
-            if head_kernel is True:
-                # auto-gate: the fused head+top-k kernel only wins with
-                # enough rows (beam_search._head_kernel_wins); serving
-                # pads every call to self.batch_size, so resolve it here
-                from openviic_tpu.decoding.beam_search import (
-                    _head_kernel_wins,
-                )
+        # BeamSearcher owns the jit cache AND the head-kernel auto-gate
+        # (head_kernel=True resolves per call via the measured win region;
+        # serving pads every call to self.batch_size, so the gate sees the
+        # padded row count) — one gating implementation for trainer,
+        # serving, and CLI decode paths.
+        if self._decode is None:
+            from openviic_tpu.decoding.beam_search import BeamSearcher
 
-                head_kernel = _head_kernel_wins(
-                    self.batch_size, self.beam_size
-                )
-            self._decode[key] = jax.jit(
-                functools.partial(
-                    beam_search,
-                    self.model,
-                    beam_size=self.beam_size,
-                    out_size=1,
-                    compute_dtype=self.compute_dtype,
-                    # beam-resident decode: no per-step cache gathers —
-                    # token-identical to the default path and ~2x faster
-                    # (PERF.md round-2 decode optimisation)
-                    beam_resident=True,
-                    head_kernel=head_kernel,
-                    attn_kernel=self.attn_kernel,
-                )
+            searcher = BeamSearcher(
+                self.model,
+                compute_dtype=self.compute_dtype,
+                # beam-resident decode: no per-step cache gathers —
+                # token-identical to the default path and ~2x faster
+                # (PERF.md round-2 decode optimisation)
+                beam_resident=True,
+                head_kernel=self.head_kernel,
+                attn_kernel=self.attn_kernel,
             )
-        return self._decode[key]
+            self._decode = functools.partial(
+                searcher, beam_size=self.beam_size, out_size=1
+            )
+        return self._decode
 
     def caption_features(self, feature_dicts: List[Dict]) -> List[str]:
         """Caption a list of per-image feature dicts (the `.npy` payloads)."""

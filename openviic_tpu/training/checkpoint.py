@@ -95,17 +95,24 @@ def save_checkpoint(path: str, state: Dict[str, Any], extras: Dict[str, Any],
     else:
         leaves, _ = _flat_with_keys(state["params"])
         mask_leaves, _ = _flat_with_keys(frozen_mask)
-        trainable, frozen = {}, {}
+        trainable, frozen_live = {}, {}
         for (key, leaf), (mkey, keep) in zip(leaves, mask_leaves):
             assert key == mkey, (key, mkey)
-            (trainable if keep else frozen)[key] = np.asarray(leaf)
+            if keep:
+                trainable[key] = np.asarray(leaf)
+            else:
+                frozen_live[key] = leaf  # left on device: fetched at most once
         frozen_path = os.path.join(os.path.dirname(path) or ".", FROZEN_NAME)
-        if not _frozen_file_current(frozen_path, frozen):
-            tmp = frozen_path + ".tmp"
-            with open(tmp, "wb") as f:
-                pickle.dump(frozen, f)
-            os.replace(tmp, frozen_path)
-            _VALIDATED_FROZEN.add(frozen_path)
+        if frozen_path not in _VALIDATED_FROZEN:
+            # one-time D2H of the backbone; later epochs skip the ~200 MB
+            # fetch entirely (the whole point of the split checkpoint)
+            frozen = {k: np.asarray(v) for k, v in frozen_live.items()}
+            if not _frozen_file_current(frozen_path, frozen):
+                tmp = frozen_path + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(frozen, f)
+                os.replace(tmp, frozen_path)
+                _VALIDATED_FROZEN.add(frozen_path)
         params_payload = {
             "params": None,
             "params_trainable": trainable,
@@ -206,6 +213,20 @@ def load_checkpoint(
     extras = {
         k: v
         for k, v in payload.items()
-        if k not in ("params", "opt_state", "step", "rng", "numpy_rng_state")
+        if k
+        not in (
+            "params",
+            "opt_state",
+            "step",
+            "rng",
+            "numpy_rng_state",
+            # split-checkpoint internals: leaking these into extras would
+            # let a load -> resave-with-loaded-extras cycle smuggle a stale
+            # params_trainable/frozen_file pair into a full checkpoint,
+            # which a later load would silently prefer over the fresh
+            # msgpack params
+            "params_trainable",
+            "frozen_file",
+        )
     }
     return {"state": state, **extras}

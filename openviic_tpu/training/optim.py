@@ -31,6 +31,32 @@ def make_optimizer(d_model: int, warmup: int, base_lr: float = 1.0):
     )
 
 
+def fast_forward_schedule(opt_state, step: int):
+    """Fresh optimizer state with its LR schedule resumed at ``step``.
+
+    Used when continuing training from a migrated reference checkpoint
+    that carries no optimizer payload (e.g. ``best_model.pth``): the Adam
+    moments legitimately restart from zero (count 0 keeps their bias
+    correction consistent), but the Noam schedule must NOT restart its
+    warmup — ``optax.scale_by_schedule`` drives the LR off its internal
+    ``ScaleByScheduleState.count``, not off the trainer's saved step, so
+    that count is fast-forwarded here."""
+    import jax
+
+    sched = optax.ScaleByScheduleState
+
+    def repl(node):
+        if isinstance(node, sched):
+            import jax.numpy as jnp
+
+            return sched(count=jnp.asarray(step, dtype=node.count.dtype))
+        return node
+
+    return jax.tree_util.tree_map(
+        repl, opt_state, is_leaf=lambda x: isinstance(x, sched)
+    )
+
+
 def make_rl_optimizer(rl_learning_rate: float):
     """Fresh Adam at a fixed LR for the SCST phase (vi_trainer.py:204)."""
     return optax.adam(learning_rate=rl_learning_rate, b1=0.9, b2=0.999)

@@ -680,11 +680,21 @@ class BaseTrainer:
             return None
         logger.info("Loaded checkpoint from %s (epoch %s)", fname, loaded.get("epoch"))
         if loaded["state"].get("opt_state") is None:
-            # migrated reference checkpoint (compat/migrate.py): torch Adam
-            # moments don't map to optax — keep the freshly-initialised
-            # optimizer state; the Noam schedule resumes from the saved step
-            logger.info("Checkpoint has no optimizer state; starting it fresh")
-            loaded["state"]["opt_state"] = self.state["opt_state"]
+            # migrated reference checkpoint with no optimizer payload
+            # (e.g. best_model.pth): fresh Adam moments, but the Noam
+            # schedule resumes from the saved step — its LR comes from the
+            # internal ScaleByScheduleState.count, which a fresh init
+            # would reset to 0 and silently restart the warmup
+            logger.info(
+                "Checkpoint has no optimizer state; starting it fresh "
+                "(LR schedule fast-forwarded to step %s)",
+                loaded["state"].get("step"),
+            )
+            from openviic_tpu.training.optim import fast_forward_schedule
+
+            loaded["state"]["opt_state"] = fast_forward_schedule(
+                self.state["opt_state"], int(loaded["state"].get("step", 0))
+            )
         elif not loaded.get("use_rl"):
             # structure guard: an XE checkpoint written before frozen-
             # backbone masking landed holds an unmasked Adam state that the
