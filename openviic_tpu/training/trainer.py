@@ -713,8 +713,14 @@ class BaseTrainer:
                     "optimizer structure (saved before frozen-param "
                     "masking?); reinitialising the optimizer"
                 )
-                loaded["state"]["opt_state"] = self.optimizer.init(
-                    loaded["state"]["params"]
+                from openviic_tpu.training.optim import fast_forward_schedule
+
+                # same LR rule as the no-opt-state path above: fresh Adam
+                # moments are unavoidable here, but the Noam schedule must
+                # resume at the saved step, not restart its warmup
+                loaded["state"]["opt_state"] = fast_forward_schedule(
+                    self.optimizer.init(loaded["state"]["params"]),
+                    int(loaded["state"].get("step", 0)),
                 )
         self.state = loaded["state"]
         # restore yields host arrays; place params/opt_state on device once

@@ -348,6 +348,21 @@ def test_pre_masking_checkpoint_opt_state_reinitialised(
     assert jax.tree_util.tree_structure(
         tr2.state["opt_state"]
     ) == jax.tree_util.tree_structure(expected)
+    # the reinitialised state must resume the Noam schedule at the saved
+    # step, not restart its warmup (same rule as the no-opt-state path)
+    import optax
+
+    saved_step = int(tr2.state["step"])
+    assert saved_step > 0
+    counts = [
+        int(s.count)
+        for s in jax.tree.leaves(
+            tr2.state["opt_state"],
+            is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+        )
+        if isinstance(s, optax.ScaleByScheduleState)
+    ]
+    assert counts and all(c == saved_step for c in counts)
     loss = tr2.train()  # the step must run with the reinitialised state
     assert np.isfinite(loss)
 
