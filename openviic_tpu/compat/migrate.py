@@ -128,9 +128,10 @@ def load_reference_vocab(path: str):
 def dummy_batch(config, vocab) -> Dict[str, Any]:
     """Minimal fixed-shape batch for ``model.init`` (param template).
 
-    Mirrors the serving pipeline's template batch
-    (openviic_tpu/serving.py) so the produced param tree matches what
-    every consumer of the checkpoint initialises against.
+    The canonical template-batch builder: the serving pipeline's
+    ``_dummy_batch`` (openviic_tpu/serving.py) delegates here so the
+    param tree a migrated checkpoint was built against always matches
+    what predict/serve initialise against.
     """
     import jax.numpy as jnp
 

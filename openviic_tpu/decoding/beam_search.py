@@ -665,6 +665,26 @@ def beam_search_multi(
     return [streams[i][2](finals[i]) for i in range(len(streams))]
 
 
+def _batch_spans_devices(batch) -> bool:
+    """True when any batch leaf lives on more than one device (a
+    dp-mesh-sharded eval/SCST decode batch, trainer._decode_loader).
+
+    The Pallas kernels are Mosaic custom calls with no SPMD partitioning
+    rule — jitting them over sharded operands fails to compile on real
+    multi-chip meshes (the CPU-mesh tests don't see it because interpret
+    mode lowers to plain partitionable jax ops), so the kernel paths must
+    fall back to the XLA fast path for those calls."""
+    for leaf in jax.tree.leaves(batch):
+        sharding = getattr(leaf, "sharding", None)
+        if sharding is not None:
+            try:
+                if len(sharding.device_set) > 1:
+                    return True
+            except (AttributeError, TypeError):
+                pass
+    return False
+
+
 def _head_kernel_wins(b_s: int, beam_size: int) -> bool:
     """Measured win region of the fused head+top-k kernel (PERF.md round 3,
     2026-08-19): beam 5 wins from 480 rows (bs96 +12%, bs320 +20%); beam 3
@@ -722,7 +742,15 @@ class BeamSearcher:
         """``dropout_rng``: sample with dropout active (a traced argument —
         a fresh rng per call re-uses the compiled program)."""
         head_kernel = self._effective_head_kernel(batch, beam_size)
-        key = (beam_size, out_size, dropout_rng is not None, head_kernel)
+        attn_kernel = self.attn_kernel
+        if (head_kernel or attn_kernel) and _batch_spans_devices(batch):
+            # Mosaic custom calls cannot be auto-partitioned over a
+            # sharded batch (see _batch_spans_devices) — XLA fast path
+            head_kernel = attn_kernel = False
+        key = (
+            beam_size, out_size, dropout_rng is not None,
+            head_kernel, attn_kernel,
+        )
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
                 functools.partial(
@@ -733,7 +761,7 @@ class BeamSearcher:
                     compute_dtype=self.compute_dtype,
                     beam_resident=self.beam_resident,
                     head_kernel=head_kernel,
-                    attn_kernel=self.attn_kernel,
+                    attn_kernel=attn_kernel,
                 )
             )
         if dropout_rng is not None:

@@ -85,21 +85,12 @@ class CaptioningPipeline:
         self._decode = None
 
     def _dummy_batch(self) -> Dict[str, jnp.ndarray]:
-        vis = self.config.MODEL.VISION_EMBEDDING
-        batch = {
-            "caption_tokens": jnp.zeros(
-                (1, self.vocab.max_caption_length), jnp.int32
-            ),
-        }
-        if "D_FEATURE" in vis:
-            batch["region_features"] = jnp.zeros((1, 8, vis.D_FEATURE))
-            batch["grid_features"] = jnp.zeros((1, 8, vis.D_FEATURE))
-        else:
-            batch["region_features"] = jnp.zeros((1, 8, vis.D_REGION_FEATURE))
-            batch["grid_features"] = jnp.zeros((1, 8, vis.D_GRID_FEATURE))
-        batch["region_boxes"] = jnp.zeros((1, 8, 4))
-        batch["grid_boxes"] = jnp.zeros((1, 8, 4))
-        return batch
+        # one canonical template-batch builder (compat/migrate.py): the
+        # migration param template and the serving init template must stay
+        # byte-identical or migrated checkpoints stop loading here
+        from openviic_tpu.compat.migrate import dummy_batch
+
+        return dummy_batch(self.config, self.vocab)
 
     def _decoder(self):
         # BeamSearcher owns the jit cache AND the head-kernel auto-gate

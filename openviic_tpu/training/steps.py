@@ -243,10 +243,16 @@ def scst_log_probs(model, params, batch, sampled, rng=None):
         params, dict(batch, caption_tokens=inputs), raw_logits=True, **kwargs
     )
     # fused log-prob pick: logits[word] - lse(logits), never materialising
-    # the (n, L, |V|) f32 log-softmax (see fused_nll)
+    # the (n, L, |V|) f32 log-softmax.  Upcast-BEFORE-subtract, exactly as
+    # fused_nll: subtract-then-upcast rounds to the logits dtype's
+    # mantissa and would silently diverge from the f32 log-softmax path
+    # if the SCST forward ever runs in bf16.
     m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
     lse = m[..., 0].astype(jnp.float32) + jnp.log(
-        jnp.sum(jnp.exp((logits - m).astype(jnp.float32)), axis=-1)
+        jnp.sum(
+            jnp.exp(logits.astype(jnp.float32) - m.astype(jnp.float32)),
+            axis=-1,
+        )
     )
     picked = jnp.take_along_axis(logits, sampled[..., None], axis=2)[..., 0]
     picked = picked.astype(jnp.float32) - lse

@@ -777,6 +777,28 @@ class BaseTrainer:
             for sig, h in prev_handlers.items():
                 _signal.signal(sig, h)
 
+    def _restore_loader_epochs(self, loaded: Dict, use_rl: bool) -> None:
+        """Restore the loader shuffle counters on resume.
+
+        Deterministic resume: the counters must match what the
+        uninterrupted run would have (SURVEY.md §5 failure-recovery
+        semantics).  New checkpoints carry them exactly in
+        extras["loader_epochs"] (save_checkpoint); older ones fall back
+        to an XE-phase reconstruction: the counter increments on each
+        __iter__ and __init__ consumes one draw for the param template,
+        so after an uninterrupted XE epoch e the train counter sits at
+        e+2 == self.epoch + 1 (not self.epoch — that would replay epoch
+        e's permutation) while the dict loader was never iterated
+        (counter 0).  Once the RL phase has begun the split between XE
+        and SCST epochs is not recoverable from the epoch number alone,
+        so the use_rl fallback is best-effort only.
+        """
+        le = loaded.get("loader_epochs") or {}
+        self.train_dataloader.epoch = int(le.get("train", self.epoch + 1))
+        self.train_dict_dataloader.epoch = int(
+            le.get("train_dict", self.epoch + 1 if use_rl else 0)
+        )
+
     def _start_loop(self, max_epochs, last, best_file) -> None:
         loaded = self.load_checkpoint(last)
         if loaded is not None:
@@ -788,19 +810,7 @@ class BaseTrainer:
             # epoch, vi_trainer.py:166,227 — a wasted epoch we deliberately
             # do not replicate.)
             self.epoch = loaded["epoch"] + 1
-            # deterministic resume: restore the shuffle counters exactly as
-            # the uninterrupted run would have them (SURVEY.md §5
-            # failure-recovery semantics).  New checkpoints carry them in
-            # extras["loader_epochs"] (save_checkpoint); older ones fall
-            # back to the XE-phase reconstruction — the counter increments
-            # on each __iter__, so after an uninterrupted XE epoch e it
-            # sits at e+1 == self.epoch (ADVICE r2: the old +1 skipped one
-            # permutation and permanently diverged the shuffle stream).
-            le = loaded.get("loader_epochs") or {}
-            self.train_dataloader.epoch = int(le.get("train", self.epoch))
-            self.train_dict_dataloader.epoch = int(
-                le.get("train_dict", self.epoch)
-            )
+            self._restore_loader_epochs(loaded, use_rl)
             if use_rl:
                 # resuming mid-SCST: the loaded opt_state is already the
                 # RL optimizer's — do not reinitialise it

@@ -41,7 +41,20 @@ def maybe_enable_compilation_cache(config=None) -> str | None:
             path = config.TRAINING.get("COMPILATION_CACHE_DIR", None)
         except AttributeError:
             path = None
-    if not path:
+    if path == "":
+        # explicit empty string = force-disable (docstring contract),
+        # including a cache a previous call in this process enabled
+        if _ENABLED_DIR is not None:
+            try:
+                import jax
+
+                jax.config.update("jax_compilation_cache_dir", None)
+            except Exception:  # pragma: no cover - jax-version dependent
+                logger.warning("could not unset jax_compilation_cache_dir")
+            _ENABLED_DIR = None
+            logger.info("persistent compilation cache: force-disabled")
+        return None
+    if path is None:
         return _ENABLED_DIR
 
     path = os.path.abspath(os.path.expanduser(str(path)))

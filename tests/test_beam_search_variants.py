@@ -476,3 +476,38 @@ def test_head_kernel_auto_gate():
     assert forced._effective_head_kernel(feats_small, 5) == 64
     off = BeamSearcher(model=None, head_kernel=False)
     assert off._effective_head_kernel(feats_big, 5) is False
+
+
+def test_pallas_kernels_disabled_on_sharded_batch(tiny_vocab):
+    """A dp-mesh-sharded decode batch must not route through the Pallas
+    kernel paths: Mosaic custom calls have no SPMD partitioning rule, so
+    on a real multi-chip mesh the jit would fail to compile (interpret
+    mode on this CPU mesh hides that).  The searcher must fall back to
+    the XLA fast path for sharded calls while keeping the kernel for
+    single-device ones (trainer._decode_loader mixes both: full batches
+    shard, ragged final batches fall back to one device)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from openviic_tpu.decoding.beam_search import (
+        BeamSearcher,
+        _batch_spans_devices,
+    )
+
+    cfg = model_config()
+    model = build_model(cfg, tiny_vocab)
+    batch = make_batch(tiny_vocab, bs=4, seed=0)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    feats = {"region_features": batch["region_features"]}
+    assert not _batch_spans_devices(feats)
+
+    searcher = BeamSearcher(model, compute_dtype=jnp.bfloat16, head_kernel=8)
+    ref_o, _ = searcher(params, feats, beam_size=5, out_size=5)
+    assert {k[3] for k in searcher._compiled} == {8}  # kernel engaged
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    sharded = jax.device_put(feats, NamedSharding(mesh, P("data")))
+    assert _batch_spans_devices(sharded)
+    got_o, _ = searcher(params, sharded, beam_size=5, out_size=5)
+    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+    # the sharded call compiled a separate kernel-free program
+    assert {k[3] for k in searcher._compiled} == {8, False}

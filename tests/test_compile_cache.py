@@ -46,3 +46,24 @@ def test_env_var_wins(tmp_path, monkeypatch):
     monkeypatch.setenv("OPENVIIC_COMPILE_CACHE", env_dir)
     got = maybe_enable_compilation_cache(_cfg(str(tmp_path / "cfg_cache")))
     assert got == env_dir
+
+
+def test_empty_string_force_disables(tmp_path, monkeypatch):
+    """Docstring contract: an empty OPENVIIC_COMPILE_CACHE force-disables
+    the cache even after an earlier call in this process enabled it."""
+    import openviic_tpu.utils.compile_cache as cc
+
+    monkeypatch.delenv("OPENVIIC_COMPILE_CACHE", raising=False)
+    cache_dir = str(tmp_path / "on_then_off")
+    assert maybe_enable_compilation_cache(_cfg(cache_dir)) == cache_dir
+    assert cc._ENABLED_DIR == cache_dir
+
+    monkeypatch.setenv("OPENVIIC_COMPILE_CACHE", "")
+    assert maybe_enable_compilation_cache(_cfg(cache_dir)) is None
+    assert cc._ENABLED_DIR is None
+    assert jax.config.jax_compilation_cache_dir is None
+    # and stays off on a later no-env call with no config
+    monkeypatch.delenv("OPENVIIC_COMPILE_CACHE", raising=False)
+    assert (
+        maybe_enable_compilation_cache(ConfigNode({"TRAINING": {}})) is None
+    )

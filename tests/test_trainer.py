@@ -116,36 +116,47 @@ def test_full_start_loop_and_predictions(tmp_path_factory, tiny_dataset_dir):
 def test_resume_shuffle_stream_matches_uninterrupted(
     tmp_path_factory, tiny_dataset_dir
 ):
-    """ADVICE r2: after resuming past completed epoch e, the loader must
-    replay permutation e+1 — exactly where an uninterrupted run would be
-    (the old realignment set e+2, permanently diverging the stream)."""
+    """Resuming past completed epoch e must replay exactly the permutation
+    an uninterrupted run would train next.  The expectation comes from the
+    *same* trainer continuing (no hand-set counters — the old version of
+    this test fabricated the expected stream with the same assumption the
+    code under test made, masking an off-by-one in the legacy fallback)."""
     from openviic_tpu.builders import build_trainer
 
     tmp = tmp_path_factory.mktemp("resume_shuffle")
     cfg = full_config(tmp, tiny_dataset_dir)
     tr = build_trainer(cfg)
-    tr.start(max_epochs=1)  # completes epoch 0; loader counter now at 1
+    tr.start(max_epochs=1)  # completes epoch 0
 
-    # what an uninterrupted run trains next: permutation for epoch 1
-    probe = build_trainer(cfg)
-    probe.train_dataloader.epoch = 1
+    # ground truth: the batches the uninterrupted run would train in
+    # epoch 1 — iterate the *live* loader, whatever its counter truly is
     expected = [
         np.asarray(b.arrays()["caption_tokens"]).tolist()
-        for b in probe.train_dataloader
+        for b in tr.train_dataloader
     ]
 
-    # drive just the realignment: load + set epochs as _start_loop does
-    tr2 = build_trainer(cfg)
-    loaded = tr2.load_checkpoint(
-        os.path.join(tr2.checkpoint_path, "last_model.ckpt")
-    )
-    tr2.epoch = loaded["epoch"] + 1
-    tr2.train_dataloader.epoch = tr2.epoch
-    got = [
-        np.asarray(b.arrays()["caption_tokens"]).tolist()
-        for b in tr2.train_dataloader
-    ]
-    assert got == expected
+    def resumed_stream(strip_loader_epochs: bool):
+        tr2 = build_trainer(cfg)
+        loaded = tr2.load_checkpoint(
+            os.path.join(tr2.checkpoint_path, "last_model.ckpt")
+        )
+        assert "loader_epochs" in loaded
+        if strip_loader_epochs:  # simulate a pre-loader_epochs checkpoint
+            loaded = {
+                k: v for k, v in loaded.items() if k != "loader_epochs"
+            }
+        # drive the real realignment as _start_loop does
+        tr2.epoch = loaded["epoch"] + 1
+        tr2._restore_loader_epochs(loaded, use_rl=loaded["use_rl"])
+        return [
+            np.asarray(b.arrays()["caption_tokens"]).tolist()
+            for b in tr2.train_dataloader
+        ]
+
+    # exact path: counters restored from the checkpoint
+    assert resumed_stream(strip_loader_epochs=False) == expected
+    # legacy fallback: reconstructed from the epoch number (XE phase)
+    assert resumed_stream(strip_loader_epochs=True) == expected
 
 
 def test_data_parallel_training(tmp_path_factory, tiny_dataset_dir):
