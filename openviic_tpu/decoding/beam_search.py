@@ -260,7 +260,7 @@ def beam_search(
     beam_resident: bool = False,
     fast_select: Optional[bool] = None,
     resident_kernel: bool = False,
-    unroll: bool = False,
+    unroll: Union[bool, int] = False,
     head_kernel: Union[bool, int] = False,
     attn_kernel: bool = False,
     _return_stream: bool = False,
@@ -572,7 +572,7 @@ def beam_search(
         # several independent streams into one while_loop
         return init, step_fn, finalize
 
-    if unroll:
+    if unroll is True:
         # fully-unrolled decode: every step has a *static* t, so XLA can
         # hoist the per-iteration weight staging out of the loop (a
         # while-loop body re-prefetches every loop-invariant buffer each
@@ -583,6 +583,50 @@ def beam_search(
         for t in range(max_len):
             carry, _ = step_fn(carry, t)
         final = carry
+    elif isinstance(unroll, int) and unroll > 1 and early_exit:
+        # partially-unrolled while_loop: the body runs ``unroll``
+        # consecutive steps, so the per-iteration staging of loop-invariant
+        # weight buffers (the decode profile's dominant fixed cost) is paid
+        # once per ``unroll`` steps and XLA can software-pipeline across
+        # the fused steps.  Early exit coarsens to ``unroll``-step
+        # granularity — at most unroll-1 extra no-op steps, which change no
+        # observable output (same argument as the early-exit variant
+        # below), so results stay identical to the reference's fixed
+        # max_len loop.
+        k = int(unroll)
+        main_stop = (max_len // k) * k
+
+        def cond_k(state):
+            t, carry = state
+            any_alive = jnp.any(carry["seq_mask"] > 0)
+            return jnp.logical_and(
+                t < main_stop, jnp.logical_or(any_alive, t < 2)
+            )
+
+        def body_k(state):
+            t, carry = state
+            for i in range(k):
+                carry, _ = step_fn(carry, t + i)
+            return (t + k, carry)
+
+        t_end, final = jax.lax.while_loop(
+            cond_k, body_k, (jnp.asarray(0), init)
+        )
+        if max_len % k:
+            # remainder steps (single-step body, same early-exit guard)
+            def cond_1(state):
+                t, carry = state
+                any_alive = jnp.any(carry["seq_mask"] > 0)
+                return jnp.logical_and(
+                    t < max_len, jnp.logical_or(any_alive, t < 2)
+                )
+
+            def body_1(state):
+                t, carry = state
+                new_carry, _ = step_fn(carry, t)
+                return (t + 1, new_carry)
+
+            _, final = jax.lax.while_loop(cond_1, body_1, (t_end, final))
     elif early_exit:
         # while_loop variant: stop once every beam of every image has
         # emitted <eos>.  Finished-state steps are no-ops on all observable

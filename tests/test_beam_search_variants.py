@@ -170,12 +170,19 @@ def test_unrolled_decode_matches_default(tiny_vocab):
     params = model.init(jax.random.PRNGKey(0), batch)
     feats = {"region_features": batch["region_features"]}
     ref_o, ref_l = beam_search(model, params, feats, beam_size=5, out_size=5)
-    got_o, got_l = beam_search(
-        model, params, feats, beam_size=5, out_size=5,
-        beam_resident=True, unroll=True,
-    )
-    np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
-    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l), atol=1e-5)
+    # full unroll (static t every step) and partial unroll (k steps per
+    # while_loop body, early exit at k-step granularity; both measured
+    # slower than the plain while_loop on hardware — scripts/bench_unroll.py
+    # — but kept gated for reproducibility) must stay token-identical
+    for unroll in (True, 4, 7):
+        got_o, got_l = beam_search(
+            model, params, feats, beam_size=5, out_size=5,
+            beam_resident=True, unroll=unroll,
+        )
+        np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
+        np.testing.assert_allclose(
+            np.asarray(got_l), np.asarray(ref_l), atol=1e-5
+        )
 
 
 def test_resident_kernel_matches_beam_resident(tiny_vocab):
