@@ -10,6 +10,11 @@ from openviic_tpu.parallel.ring_attention import (
     ring_attention,
     ring_self_attention,
 )
+from openviic_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipelined_encoder_apply,
+    stack_layer_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,4 +25,7 @@ __all__ = [
     "initialize_distributed",
     "ring_attention",
     "ring_self_attention",
+    "pipeline_apply",
+    "pipelined_encoder_apply",
+    "stack_layer_params",
 ]
