@@ -41,7 +41,7 @@ from openviic_tpu.builders import (
     build_text_embedding,
 )
 from openviic_tpu.models.attention import MultiHeadAttention
-from openviic_tpu.models.ffn import PositionWiseFeedForward
+from openviic_tpu.models.ffn import make_pwff
 from openviic_tpu.models.initializers import torch_linear_kernel, xavier_uniform, zeros
 from openviic_tpu.models.masks import generate_padding_mask, generate_sequential_mask
 from openviic_tpu.models.positional import sinusoid_encoding_table
@@ -57,7 +57,7 @@ class DecoderLayer(nn.Module):
     def setup(self):
         self.self_attn = MultiHeadAttention(self.config.SELF_ATTENTION, name="self_attn")
         self.enc_attn = MultiHeadAttention(self.config.ENC_ATTENTION, name="enc_attn")
-        self.pwff = PositionWiseFeedForward(self.config.ENC_ATTENTION, name="pwff")
+        self.pwff = make_pwff(self.config.ENC_ATTENTION, name="pwff")
 
     def __call__(self, queries, keys, values, self_padding_mask, self_attention_mask,
                  enc_attention_mask, train: bool = False, **kwargs):
@@ -243,7 +243,7 @@ class MeshedDecoderLayer(nn.Module):
         cfg = self.config
         self.self_attn = MultiHeadAttention(cfg.SELF_ATTENTION, name="self_attn")
         self.enc_attn = MultiHeadAttention(cfg.ENC_ATTENTION, name="enc_attn")
-        self.pwff = PositionWiseFeedForward(cfg.ENC_ATTENTION, name="pwff")
+        self.pwff = make_pwff(cfg.ENC_ATTENTION, name="pwff")
         self.nlayers = cfg.N_ENCODER_LAYERS
         self.fc_alphas = [
             nn.Dense(

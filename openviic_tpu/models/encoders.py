@@ -27,7 +27,7 @@ from jax import random
 
 from openviic_tpu.builders import META_ENCODER
 from openviic_tpu.models.attention import MultiHeadAttention
-from openviic_tpu.models.ffn import PositionWiseFeedForward
+from openviic_tpu.models.ffn import make_pwff
 from openviic_tpu.models.geometry import box_relational_embedding
 from openviic_tpu.models.positional import sinusoid_positional_embedding
 
@@ -50,7 +50,7 @@ class EncoderLayer(nn.Module):
 
     def setup(self):
         self.mhatt = MultiHeadAttention(self.config, name="mhatt")
-        self.pwff = PositionWiseFeedForward(self.config, name="pwff")
+        self.pwff = make_pwff(self.config, name="pwff")
 
     def __call__(self, queries, keys, values, padding_mask, attention_mask,
                  train: bool = False, **kwargs):

@@ -40,6 +40,16 @@ _TP_RULES = [
     (re.compile(r"decoder/fc/kernel$"), P(None, "model")),
 ]
 
+# Expert parallelism (beyond parity — the reference has no MoE, SURVEY.md
+# §2.2 EP row): the MoE FFN's stacked expert weights
+# (models/ffn.py MoEPositionWiseFeedForward) shard their leading expert
+# axis; GSPMD then partitions the dispatch/expert/combine einsums so each
+# device computes only its experts.  The router stays replicated.
+_EP_RULES = [
+    (re.compile(r"pwff/(w1|w2)$"), P("expert", None, None)),
+    (re.compile(r"pwff/(b1|b2)$"), P("expert", None)),
+]
+
 
 def make_mesh(
     axis_sizes: Optional[Dict[str, int]] = None,
@@ -70,15 +80,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for params: TP rules when the mesh has a
-    'model' axis, fully replicated otherwise."""
-    use_tp = "model" in mesh.axis_names
+    'model' axis, EP rules for MoE expert weights when it has an
+    'expert' axis, fully replicated otherwise."""
+    rules = []
+    if "model" in mesh.axis_names:
+        rules += _TP_RULES
+    if "expert" in mesh.axis_names:
+        rules += _EP_RULES
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def spec_for(path: str, leaf) -> P:
-        if not use_tp:
-            return P()
-        for pattern, spec in _TP_RULES:
+        for pattern, spec in rules:
             if pattern.search(path):
                 # rank guard: don't apply 2-d specs to 1-d leaves
                 if len([s for s in spec]) <= leaf.ndim:
