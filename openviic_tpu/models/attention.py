@@ -95,7 +95,17 @@ def _ring_dispatch(q, k, v, d_k, mask, bias):
     ):
         return None
     key_mask = mask[:, 0, 0, :] if mask is not None else None
-    out = ring_self_attention(
+    attend = ring_self_attention
+    if (
+        getattr(ctx, "mode", "ring") == "ulysses"
+        and q.shape[2] % ctx.mesh.shape[ctx.seq_axis] == 0
+    ):
+        # head-divisible calls take the all-to-all layout; others keep the
+        # ring so the context always yields sequence-parallel execution
+        from openviic_tpu.parallel.ulysses import ulysses_self_attention
+
+        attend = ulysses_self_attention
+    out = attend(
         q, k, v, ctx.mesh,
         bias=bias, key_mask=key_mask,
         seq_axis=ctx.seq_axis, batch_axis=ctx.batch_axis,

@@ -10,6 +10,10 @@ from openviic_tpu.parallel.ring_attention import (
     ring_attention,
     ring_self_attention,
 )
+from openviic_tpu.parallel.ulysses import (
+    ulysses_attention,
+    ulysses_self_attention,
+)
 from openviic_tpu.parallel.pipeline import (
     pipeline_apply,
     pipelined_encoder_apply,
@@ -25,6 +29,8 @@ __all__ = [
     "initialize_distributed",
     "ring_attention",
     "ring_self_attention",
+    "ulysses_attention",
+    "ulysses_self_attention",
     "pipeline_apply",
     "pipelined_encoder_apply",
     "stack_layer_params",

@@ -40,6 +40,9 @@ class RingContext(NamedTuple):
     mesh: Mesh
     seq_axis: str
     batch_axis: Optional[str]
+    #: "ring" (K/V ppermute ring) or "ulysses" (all-to-all head sharding,
+    #: parallel/ulysses.py) — which sequence-parallel layout to dispatch to
+    mode: str = "ring"
 
 
 _RING_CTX: contextvars.ContextVar[Optional[RingContext]] = contextvars.ContextVar(
@@ -57,20 +60,28 @@ DISPATCH_STATS = {"traces": 0}
 
 @contextlib.contextmanager
 def ring_attention(mesh: Mesh, seq_axis: str = "seq",
-                   batch_axis: Optional[str] = None):
-    """Route eligible encoder self-attention through the ring kernel.
+                   batch_axis: Optional[str] = None,
+                   mode: str = "ring"):
+    """Route eligible encoder self-attention through a sequence-parallel
+    attention layout.
 
     Inside this context, the framework's attention kernels
     (models/attention.py ``_attend``) dispatch bidirectional self-attention
-    (nq == nk, query-independent mask) to ``ring_self_attention`` over
-    ``mesh``'s ``seq_axis`` — making every encoder (incl. the geometric-
-    bias ORT/DLCT ones) sequence-parallel without touching model code:
+    (nq == nk, query-independent mask) to ``ring_self_attention`` (or, with
+    ``mode="ulysses"``, to ``parallel.ulysses.ulysses_self_attention``)
+    over ``mesh``'s ``seq_axis`` — making every encoder (incl. the
+    geometric-bias ORT/DLCT ones) sequence-parallel without touching model
+    code:
 
         with ring_attention(mesh, "seq"):
             out = jax.jit(model.apply, ...)(params, batch)
 
-    Decoder attention (causal masks, cached K/V) is unaffected."""
-    token = _RING_CTX.set(RingContext(mesh, seq_axis, batch_axis))
+    Decoder attention (causal masks, cached K/V) is unaffected.  Under
+    ``mode="ulysses"``, calls whose head count does not divide the seq
+    axis fall back to the ring layout (still sequence-parallel)."""
+    if mode not in ("ring", "ulysses"):
+        raise ValueError(f"unknown sequence-parallel mode {mode!r}")
+    token = _RING_CTX.set(RingContext(mesh, seq_axis, batch_axis, mode))
     try:
         yield
     finally:
