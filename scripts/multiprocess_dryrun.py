@@ -116,7 +116,7 @@ def run_worker(proc_id: int, nprocs: int, port: int, data_dir: str,
 
     # ---- 1. host-sharded grain input --------------------------------------
     from openviic_tpu.config import ConfigNode
-    from openviic_tpu.data.datasets import FeatureDataset
+    from openviic_tpu.data.datasets import DictionaryDataset
     from openviic_tpu.data.grain_loader import GrainDataLoader
     from openviic_tpu.data.vocab import Vocab
 
@@ -140,7 +140,9 @@ def run_worker(proc_id: int, nprocs: int, port: int, data_dir: str,
         },
     })
     data_vocab = Vocab(data_cfg)
-    train_ds = FeatureDataset(data_cfg.JSON_PATH.TRAIN, data_vocab, data_cfg)
+    # DictionaryDataset: one sample per image, carries image_id/filename —
+    # lets the driver assert the hosts' shards are disjoint
+    train_ds = DictionaryDataset(data_cfg.JSON_PATH.TRAIN, data_vocab, data_cfg)
     loader = GrainDataLoader(train_ds, batch_size=4, shuffle=True, seed=7)
     assert loader.shard_index == proc_id, (
         f"grain loader shard_index {loader.shard_index} != process {proc_id}"
@@ -176,6 +178,7 @@ def run_worker(proc_id: int, nprocs: int, port: int, data_dir: str,
 
     losses = []
     ckpt_path = os.path.join(out_dir, "ckpt", "mp_model")
+    os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
     for step in range(N_STEPS):
         state, loss = xe_step(state, device_batch(step))
         losses.append(float(loss))
@@ -282,17 +285,24 @@ def run_driver(nprocs: int, devices: int, out_dir: str, timeout: int) -> None:
         raise SystemExit(f"baseline run failed (rc={rc})")
 
     env = _clean_env(devices)
+    logs = [os.path.join(out_dir, f"worker_{i}.log") for i in range(nprocs)]
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i),
              "--nprocs", str(nprocs), "--port", str(port),
              "--data-dir", data_dir, "--out-dir", out_dir],
-            env=env,
+            env=env, stdout=open(logs[i], "w"), stderr=subprocess.STDOUT,
         )
         for i in range(nprocs)
     ]
     rcs = [p.wait(timeout=timeout) for p in procs]
     if any(rc != 0 for rc in rcs):
+        for i, rc in enumerate(rcs):
+            if rc != 0:
+                with open(logs[i]) as f:
+                    tail = f.read()[-3000:]
+                print(f"--- worker {i} (rc={rc}) log tail ---\n{tail}",
+                      file=sys.stderr)
         raise SystemExit(f"worker exit codes {rcs}")
 
     results = []
