@@ -24,6 +24,7 @@ import re
 from typing import Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -204,9 +205,21 @@ def shard_state(state, mesh: Mesh, optimizer=None, trainable_mask=None):
             put_entry, state["opt_state"], is_leaf=is_params_like
         )
 
+    rng = state["rng"]
+    if jnp.issubdtype(getattr(rng, "dtype", None), jax.dtypes.prng_key):
+        # typed PRNG keys (e.g. a checkpoint-restored key from
+        # wrap_key_data) have an extended dtype that device_put cannot
+        # place onto non-addressable (multi-host) shardings — round-trip
+        # through the raw key data instead
+        impl = jax.random.key_impl(rng)
+        data = jax.device_put(np.asarray(jax.random.key_data(rng)), repl)
+        rng = jax.random.wrap_key_data(data, impl=impl)
+    else:
+        rng = jax.device_put(rng, repl)
+
     return {
         "params": params,
         "opt_state": opt_state,
         "step": jax.device_put(state["step"], repl),
-        "rng": jax.device_put(state["rng"], repl),
+        "rng": rng,
     }

@@ -66,13 +66,57 @@ from openviic_tpu.utils.metrics import (
 logger = setup_logger()
 
 
-def _device_batch(items, mesh=None) -> Dict[str, jnp.ndarray]:
-    arrays = {k: jnp.asarray(v) for k, v in items.arrays().items()}
-    if mesh is not None:
-        from openviic_tpu.parallel import batch_sharding
+def _is_multihost() -> bool:
+    return jax.process_count() > 1
 
-        arrays = jax.device_put(arrays, batch_sharding(mesh))
-    return arrays
+
+def _mh_barrier(tag: str) -> None:
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(f"openviic_{tag}")
+
+
+def _local_rows(global_array) -> np.ndarray:
+    """This host's rows of a batch-dim-sharded global array, in order.
+
+    The dp batch is assembled from process-local rows
+    (``jax.make_array_from_process_local_data`` in ``_device_batch``), so
+    host h's rows are exactly its addressable shards — fetching only those
+    avoids a cross-host gather for host-side work (SCST reward)."""
+    shards = sorted(
+        global_array.addressable_shards,
+        key=lambda s: s.index[0].start or 0,
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def _device_batch(items, mesh=None, replicate=False) -> Dict[str, jnp.ndarray]:
+    if mesh is not None:
+        from openviic_tpu.parallel import batch_sharding, replicate_sharding
+
+        if replicate:
+            # multi-host eval: every host holds the identical batch (eval
+            # loaders are never host-sharded — trainer init); replicating
+            # it keeps eval one SPMD program against the globally-placed
+            # params with no data-axis divisibility constraint, and every
+            # host computes identical scores, so best/patience/RL-switch
+            # control flow cannot diverge across hosts
+            arrays = {k: np.asarray(v) for k, v in items.arrays().items()}
+            return jax.device_put(arrays, replicate_sharding(mesh))
+        if _is_multihost():
+            # multi-host training: `items` is this host's shard of the
+            # global batch (grain loader host sharding) — assemble the
+            # global dp-sharded batch from process-local rows
+            sharding = batch_sharding(mesh)
+            return {
+                k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v)
+                )
+                for k, v in items.arrays().items()
+            }
+        arrays = {k: jnp.asarray(v) for k, v in items.arrays().items()}
+        return jax.device_put(arrays, batch_sharding(mesh))
+    return {k: jnp.asarray(v) for k, v in items.arrays().items()}
 
 
 class BaseTrainer:
@@ -107,16 +151,31 @@ class BaseTrainer:
         )
         os.makedirs(self.checkpoint_path, exist_ok=True)
 
+        # multi-host awareness: under jax.distributed (parallel/runtime.py)
+        # all hosts run this constructor; file writes are process-0-gated
+        # behind barriers, train streams shard per host, eval replicates
+        self._multihost = _is_multihost()
+
         vocab_file = os.path.join(self.checkpoint_path, "vocab.bin")
-        if not os.path.isfile(vocab_file):
-            logger.info("Creating vocab")
-            self.vocab = self.load_vocab(config)
-            with open(vocab_file, "wb") as f:
-                pickle.dump(self.vocab, f)
-        else:
+        if self._multihost and jax.process_index() != 0:
+            # process 0 builds and pickles the vocab; wait, then read it —
+            # concurrent writes to the shared checkpoint dir would race
+            _mh_barrier("vocab")
             logger.info("Loading vocab from %s", vocab_file)
             with open(vocab_file, "rb") as f:
                 self.vocab = pickle.load(f)
+        else:
+            if not os.path.isfile(vocab_file):
+                logger.info("Creating vocab")
+                self.vocab = self.load_vocab(config)
+                with open(vocab_file, "wb") as f:
+                    pickle.dump(self.vocab, f)
+            else:
+                logger.info("Loading vocab from %s", vocab_file)
+                with open(vocab_file, "rb") as f:
+                    self.vocab = pickle.load(f)
+            if self._multihost:
+                _mh_barrier("vocab")
 
         logger.info("Loading data")
         (
@@ -147,20 +206,55 @@ class BaseTrainer:
                 f"DATASET.FEATURE_BATCH_SIZE={ds.FEATURE_BATCH_SIZE}"
             )
 
-        data_axis = _math.gcd(int(ds.FEATURE_BATCH_SIZE), len(jax.devices()))
-        if data_axis > 1 and config.TRAINING.get("DATA_PARALLEL", True):
+        if self._multihost:
+            # multi-host: the mesh must span every process's devices (a
+            # partial mesh would leave some hosts out of the SPMD program
+            # and deadlock the collectives); the per-host loader batch
+            # times the process count is the global batch
+            if not config.TRAINING.get("DATA_PARALLEL", True):
+                raise ValueError(
+                    "multi-host runs require TRAINING.DATA_PARALLEL"
+                )
             if grad_accum > 1:
                 raise ValueError(
-                    "TRAINING.GRAD_ACCUM is for single-device training; "
-                    "with a data-parallel mesh, scale the batch across "
-                    "devices instead (or set TRAINING.DATA_PARALLEL: false)"
+                    "TRAINING.GRAD_ACCUM is single-device only; scale the "
+                    "batch across hosts instead"
+                )
+            total = len(jax.devices())
+            global_bs = int(ds.FEATURE_BATCH_SIZE) * jax.process_count()
+            if global_bs % total:
+                raise ValueError(
+                    f"global batch {global_bs} (FEATURE_BATCH_SIZE x "
+                    f"{jax.process_count()} hosts) must divide the "
+                    f"{total}-device mesh"
+                )
+            if str(ds.get("LOADER", "native")).lower() != "grain":
+                raise ValueError(
+                    "multi-host training requires DATASET.LOADER: grain "
+                    "(the native loader does not shard across hosts)"
                 )
             from openviic_tpu.parallel import make_mesh
 
-            self.mesh = make_mesh(
-                {"data": data_axis}, devices=jax.devices()[:data_axis]
+            self.mesh = make_mesh({"data": total})
+            logger.info(
+                "Data-parallel over %d devices on %d hosts",
+                total, jax.process_count(),
             )
-            logger.info("Data-parallel over %d devices", data_axis)
+        else:
+            data_axis = _math.gcd(int(ds.FEATURE_BATCH_SIZE), len(jax.devices()))
+            if data_axis > 1 and config.TRAINING.get("DATA_PARALLEL", True):
+                if grad_accum > 1:
+                    raise ValueError(
+                        "TRAINING.GRAD_ACCUM is for single-device training; "
+                        "with a data-parallel mesh, scale the batch across "
+                        "devices instead (or set TRAINING.DATA_PARALLEL: false)"
+                    )
+                from openviic_tpu.parallel import make_mesh
+
+                self.mesh = make_mesh(
+                    {"data": data_axis}, devices=jax.devices()[:data_axis]
+                )
+                logger.info("Data-parallel over %d devices", data_axis)
 
         # Loader backend: the native thread pipeline, or the host-sharded
         # Grain pipeline (DATASET.LOADER: grain — data/grain_loader.py).
@@ -193,6 +287,17 @@ class BaseTrainer:
         loader_kwargs = {"pad_sizes": pad_sizes} if pad_sizes else {}
         eval_kwargs.update(loader_kwargs)
 
+        if self._multihost and not pad_sizes:
+            # per-batch bucket padding (multiples of 8) varies with batch
+            # content, so two hosts could pad the same step's batch to
+            # different row counts and compose inconsistent global shapes —
+            # a silent cross-host divergence; require pinned shapes instead
+            raise ValueError(
+                "multi-host training requires static shapes: set "
+                "DATASET.MAX_REGIONS (or DATASET.PAD_SIZES) so every host "
+                "pads identically"
+            )
+
         # grad accumulation needs every batch divisible by GRAD_ACCUM, so
         # the ragged final batch is dropped (as with a device mesh)
         self.train_dataloader = loader_cls(
@@ -212,6 +317,11 @@ class BaseTrainer:
             max(1, ds.DICT_BATCH_SIZE // self.training_beam_size),
             shuffle=True,
             seed=17,
+            # multi-host SCST composes the global batch from per-host rows,
+            # so a ragged final batch cannot fall back to unsharded decode
+            # the way _scst_place does on one host — drop it (equal shard
+            # lengths make every host ragged at the same step)
+            drop_last=self._multihost,
             **loader_kwargs,
         )
         self.val_dict_dataloader = loader_cls(
@@ -311,7 +421,10 @@ class BaseTrainer:
         tr = config.TRAINING
         maybe_enable_nan_checks(bool(tr.get("DEBUG_NANS", False)))
         self.metrics = MetricsLogger(
-            self.checkpoint_path, tensorboard=bool(tr.get("TENSORBOARD", False))
+            self.checkpoint_path, tensorboard=bool(tr.get("TENSORBOARD", False)),
+            # one writer per run dir: concurrent hosts appending to the
+            # same metrics.jsonl would interleave mid-record
+            enabled=not self._multihost or jax.process_index() == 0,
         )
         self.log_every = int(tr.get("LOG_EVERY", 50))
         self.profiler = (
@@ -457,8 +570,13 @@ class BaseTrainer:
             # applies (viTrainer) — enTrainer overrides postprocess_pairs and
             # falls back to the host scorer automatically
             self.device_reward = None
-            if self.config.TRAINING.get("DEVICE_REWARD", True) and (
-                type(self).postprocess_pairs is BaseTrainer.postprocess_pairs
+            # multi-host SCST scores each host's rows with the host CIDEr
+            # instead (reward work scales with hosts; avoids unifying the
+            # per-host ref-tensor shapes the device scorer would need)
+            if (
+                not self._multihost
+                and self.config.TRAINING.get("DEVICE_REWARD", True)
+                and type(self).postprocess_pairs is BaseTrainer.postprocess_pairs
             ):
                 from openviic_tpu.training.device_reward import DeviceCiderFull
 
@@ -497,7 +615,18 @@ class BaseTrainer:
             # propagation and XLA inserts the gradient all-reduce — the
             # same mechanism as make_sharded_xe_step (parallel/mesh.py)
             mesh = self.mesh
-            if mesh is not None and items.batch_size % mesh.shape["data"] != 0:
+            if self._multihost:
+                # no unsharded fallback across hosts (local arrays cannot
+                # join the global program); the dict loader drops ragged
+                # batches, so this only trips on misconfigured batch sizes
+                global_bs = items.batch_size * jax.process_count()
+                if global_bs % mesh.shape["data"] != 0:
+                    raise ValueError(
+                        f"multi-host SCST: global dict batch {global_bs} "
+                        f"must divide the {mesh.shape['data']}-device mesh "
+                        "(adjust DATASET.DICT_BATCH_SIZE)"
+                    )
+            elif mesh is not None and items.batch_size % mesh.shape["data"] != 0:
                 mesh = None
             if mesh is not None:
                 self._scst_sharded_steps += 1
@@ -525,7 +654,36 @@ class BaseTrainer:
             bs = outs.shape[0]
             sampled_dev = outs.reshape(bs * beam, -1)
 
-            if self.device_reward is not None:
+            if self._multihost:
+                # each host scores ITS rows of the global sample with the
+                # host CIDEr (native C++ scorer when built) and the global
+                # reward is recomposed — reward computation parallelises
+                # across hosts, and the grad step stays one SPMD program
+                # slice the local images from `outs` (its dim-0 sharding
+                # follows the input batch; the flat reshape's sharding is
+                # XLA's choice) then flatten image-major, beam-minor
+                sampled_local = _local_rows(outs).reshape(
+                    -1, int(outs.shape[-1])
+                )
+                caps_gen = self.vocab.decode_caption(
+                    sampled_local, join_words=True
+                )
+                caps_gt = list(
+                    itertools.chain(*([a] * beam for a in items["captions"]))
+                )
+                gens = {f"{i}": [c] for i, c in enumerate(caps_gen)}
+                gts = {f"{i}": c for i, c in enumerate(caps_gt)}
+                gts, gens = self.postprocess_pairs(gts, gens)
+                r = self.train_cider.compute_score(gts, gens)[1].astype(
+                    np.float32
+                )
+                from openviic_tpu.parallel import batch_sharding
+
+                reward = jax.make_array_from_process_local_data(
+                    batch_sharding(self.mesh),
+                    r.reshape(len(items["captions"]), beam),
+                )
+            elif self.device_reward is not None:
                 # fully on-device iteration: sample -> reward -> grad step
                 # with no host round-trip (the sampled tokens never leave
                 # the device), so the next batch's decode dispatches while
@@ -588,7 +746,13 @@ class BaseTrainer:
     # -- evaluation ------------------------------------------------------
     def evaluate_loss(self, dataloader: DataLoader) -> float:
         losses = []
-        for batch in device_prefetch(dataloader, _device_batch):
+        # multi-host: the (replicated) eval batch must join the params'
+        # global mesh or the jitted eval_step mixes local and global arrays
+        place = (
+            (lambda items: _device_batch(items, self.mesh, replicate=True))
+            if self._multihost else _device_batch
+        )
+        for batch in device_prefetch(dataloader, place):
             losses.append(self.eval_step(self.state["params"], batch))
             if len(losses) % 8 == 0:
                 # periodic backpressure: without any sync the host can
@@ -608,12 +772,17 @@ class BaseTrainer:
         decode runs across all chips (tested single-device-equal in
         tests/test_tensor_parallel.py::test_sharded_decode...)."""
         for it, items in enumerate(dataloader):
-            # the trailing partial batch may not divide the data axis —
-            # decode it unsharded
-            mesh = self.mesh
-            if mesh is not None and items.batch_size % mesh.shape["data"] != 0:
-                mesh = None
-            batch = _device_batch(items, mesh)
+            if self._multihost:
+                # replicated eval decode (see _device_batch): identical
+                # scores on every host keep control flow in lockstep
+                batch = _device_batch(items, self.mesh, replicate=True)
+            else:
+                # the trailing partial batch may not divide the data axis —
+                # decode it unsharded
+                mesh = self.mesh
+                if mesh is not None and items.batch_size % mesh.shape["data"] != 0:
+                    mesh = None
+                batch = _device_batch(items, mesh)
             outs, _ = self.beam_searcher(
                 self.state["params"], batch, beam_size=beam_size, out_size=1
             )
@@ -665,12 +834,19 @@ class BaseTrainer:
             "train": int(getattr(self.train_dataloader, "epoch", 0)),
             "train_dict": int(getattr(self.train_dict_dataloader, "epoch", 0)),
         }
-        self._ckpt_io.save_checkpoint(
-            os.path.join(self.checkpoint_path, self._ckpt_io.LAST_NAME),
-            self.state,
-            {"epoch": self.epoch, "loader_epochs": loader_epochs, **extras},
-            frozen_mask=self._frozen_mask,
-        )
+        if not self._multihost or jax.process_index() == 0:
+            # dp state is replicated, so host 0 alone writes the file (its
+            # local replicas are fully addressable); the barrier below
+            # keeps other hosts from racing ahead to a load
+            self._ckpt_io.save_checkpoint(
+                os.path.join(self.checkpoint_path, self._ckpt_io.LAST_NAME),
+                self.state,
+                {"epoch": self.epoch, "loader_epochs": loader_epochs, **extras},
+                frozen_mask=self._frozen_mask,
+            )
+        if self._multihost:
+            self._ckpt_io.wait()  # async backends: commit before the barrier
+            _mh_barrier("ckpt_save")
 
     def load_checkpoint(self, fname: str) -> Optional[Dict]:
         loaded = self._ckpt_io.load_checkpoint(
@@ -869,9 +1045,26 @@ class BaseTrainer:
                 }
             )
             if best:
-                self._ckpt_io.copy(last, best_file)
+                if not self._multihost or jax.process_index() == 0:
+                    self._ckpt_io.copy(last, best_file)
+                if self._multihost:
+                    # the RL switch may load best_file next epoch on every
+                    # host — make the copy visible before anyone proceeds
+                    _mh_barrier("ckpt_best")
 
-            if self._stop_requested:
+            stop = self._stop_requested
+            if self._multihost:
+                # a preemption signal may reach only some hosts; agree on
+                # stopping globally or the others deadlock at the next
+                # collective with this host gone
+                from jax.experimental import multihost_utils
+
+                stop = bool(
+                    multihost_utils.process_allgather(
+                        np.asarray([stop])
+                    ).any()
+                )
+            if stop:
                 self._ckpt_io.wait()
                 logger.info("Preemption checkpoint written; exiting training loop")
                 break
@@ -924,10 +1117,11 @@ class BaseTrainer:
         else:
             scores = {}
 
-        with open(
-            os.path.join(self.checkpoint_path, "test_results.json"), "w+"
-        ) as f:
-            json.dump({"results": results, **scores}, f, ensure_ascii=False)
+        if not self._multihost or jax.process_index() == 0:
+            with open(
+                os.path.join(self.checkpoint_path, "test_results.json"), "w+"
+            ) as f:
+                json.dump({"results": results, **scores}, f, ensure_ascii=False)
 
 
 @META_TRAINER.register()

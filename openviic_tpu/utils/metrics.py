@@ -17,13 +17,16 @@ from typing import Dict
 
 
 class MetricsLogger:
-    def __init__(self, output_dir: str, tensorboard: bool = False):
+    def __init__(self, output_dir: str, tensorboard: bool = False,
+                 enabled: bool = True):
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, "metrics.jsonl")
-        self._file = open(self.path, "a", buffering=1)
+        # enabled=False (non-zero hosts in multi-host runs): keep the API
+        # but write nothing — one writer per shared run directory
+        self._file = open(self.path if enabled else os.devnull, "a", buffering=1)
         self._tb = None
-        if tensorboard:
+        if tensorboard and enabled:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 

@@ -42,6 +42,7 @@ import os
 import socket
 import subprocess
 import sys
+import tempfile
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
@@ -238,6 +239,128 @@ def run_baseline(data_dir: str, out_dir: str) -> None:
         json.dump({"losses": losses}, f)
 
 
+def _trainer_config(data_dir: str, ckpt_dir: str):
+    """Tiny reference-shaped trainer config for the cross-process stage:
+    grain loader (host sharding), pinned MAX_REGIONS (identical global
+    shapes on every host), native checkpoints, patience 2."""
+    sys.path.insert(0, HERE)
+    from compare_training_vs_reference import shared_config
+
+    cfg = shared_config(
+        data_dir, ckpt_dir, "mp_lifecycle", d_model=64, heads=4, layers=2,
+        d_ff=128, batch=8, dict_batch=8, warmup=20, beam=2,
+    )
+    cfg.DATASET._data["LOADER"] = "grain"
+    cfg.DATASET._data["MAX_REGIONS"] = 40
+    cfg.TRAINING._data["PATIENCE"] = 2
+    return cfg
+
+
+def run_trainer_worker(proc_id: int, nprocs: int, port: int, data_dir: str,
+                       out_dir: str, max_epochs: int) -> None:
+    """Full BaseTrainer/viTrainer lifecycle under jax.distributed: XE
+    epochs, replicated eval (identical scores -> lockstep control flow),
+    host-0-gated checkpoints behind barriers, and — after the driver
+    forces patience between stages — the RL switch + multi-host SCST
+    (per-host CIDEr reward recomposed into the global REINFORCE step)."""
+    import hashlib
+
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs,
+        process_id=proc_id,
+    )
+    import numpy as np
+
+    from openviic_tpu.builders import build_trainer
+
+    tr = build_trainer(_trainer_config(data_dir, os.path.join(out_dir, "ckpt_tr")))
+    assert tr.mesh is not None and tr.mesh.shape["data"] == jax.device_count()
+    from openviic_tpu.data.grain_loader import GrainDataLoader
+
+    assert isinstance(tr.train_dataloader, GrainDataLoader)
+    assert tr.train_dataloader.shard_index == proc_id
+    # eval streams must be identical on every host (replicated eval)
+    assert tr.val_dict_dataloader.shard_count == 1
+
+    tr.start(max_epochs=max_epochs)
+
+    digest = hashlib.sha256()
+    for leaf in jax.tree.leaves(tr.state["params"]):
+        digest.update(np.asarray(leaf).tobytes())
+    last = os.path.join(tr.checkpoint_path, tr._ckpt_io.LAST_NAME)
+    loaded = tr._ckpt_io.load_checkpoint(
+        last, tr.state["params"], tr.state["opt_state"]
+    )
+    result = {
+        "proc_id": proc_id,
+        "epoch": tr.epoch,
+        "use_rl": bool(tr.use_rl),
+        "params_sha": digest.hexdigest(),
+        "ckpt_epoch": loaded["epoch"],
+        "ckpt_val_loss": loaded.get("val_loss"),
+        "ckpt_best_val_score": loaded.get("best_val_score"),
+    }
+    with open(os.path.join(out_dir, f"trainer_{proc_id}.json"), "w") as f:
+        json.dump(result, f)
+
+
+def _force_patience(out_dir: str) -> None:
+    """Rewrite the checkpointed best score so every later val score is a
+    regression — the patience->RL switch then fires deterministically
+    (same trick as the single-process lifecycle dryrun)."""
+    import pickle
+
+    path = os.path.join(out_dir, "ckpt_tr", "mp_lifecycle", "last_model.ckpt")
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    payload["best_val_score"] = 1e9
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def _run_trainer_stage(nprocs: int, devices: int, data_dir: str,
+                       out_dir: str, max_epochs: int, timeout: int) -> list:
+    env = _clean_env(devices)
+    port = _free_port()
+    logs = [
+        os.path.join(out_dir, f"trainer_{i}_e{max_epochs}.log")
+        for i in range(nprocs)
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--trainer-worker",
+             str(i), "--nprocs", str(nprocs), "--port", str(port),
+             "--data-dir", data_dir, "--out-dir", out_dir,
+             "--max-epochs", str(max_epochs)],
+            env=env, stdout=open(logs[i], "w"), stderr=subprocess.STDOUT,
+        )
+        for i in range(nprocs)
+    ]
+    rcs = [p.wait(timeout=timeout) for p in procs]
+    if any(rc != 0 for rc in rcs):
+        for i, rc in enumerate(rcs):
+            if rc != 0:
+                with open(logs[i]) as f:
+                    print(f"--- trainer worker {i} (rc={rc}) log tail ---\n"
+                          f"{f.read()[-3000:]}", file=sys.stderr)
+        raise SystemExit(f"trainer worker exit codes {rcs}")
+    results = []
+    for i in range(nprocs):
+        with open(os.path.join(out_dir, f"trainer_{i}.json")) as f:
+            results.append(json.load(f))
+    for r in results[1:]:
+        for key in ("epoch", "use_rl", "params_sha", "ckpt_epoch",
+                    "ckpt_val_loss", "ckpt_best_val_score"):
+            assert r[key] == results[0][key], (
+                f"cross-host divergence in {key}: "
+                f"{r[key]} vs {results[0][key]}"
+            )
+    return results
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -256,6 +379,11 @@ def _clean_env(devices: int) -> dict:
     flags.append(f"--xla_force_host_platform_device_count={devices}")
     env["XLA_FLAGS"] = " ".join(flags)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # the stages rebuild identical programs — share the persistent compile
+    # cache so stage 2+ and reruns hit it (dominant cost on a 1-CPU host)
+    env.setdefault("OPENVIIC_COMPILE_CACHE", os.path.join(
+        tempfile.gettempdir(), "ov_mp_xla_cache"))
+    env.setdefault("OPENVIIC_COMPILE_CACHE_MIN_SECS", "0.25")
     return env
 
 
@@ -347,6 +475,42 @@ def run_driver(nprocs: int, devices: int, out_dir: str, timeout: int) -> None:
         f"batches/host)"
     )
 
+    # ---- full-trainer lifecycle across processes ---------------------------
+    # stage 1: one XE epoch + replicated eval + host-0 checkpoint
+    s1 = _run_trainer_stage(nprocs, devices, data_dir, out_dir,
+                            max_epochs=1, timeout=timeout)
+    assert not s1[0]["use_rl"] and s1[0]["ckpt_epoch"] == 0
+    # force patience, then stage 2 resumes, exhausts patience (2), switches
+    # to RL, and runs a multi-host SCST epoch
+    _force_patience(out_dir)
+    s2 = _run_trainer_stage(nprocs, devices, data_dir, out_dir,
+                            max_epochs=4, timeout=timeout)
+    assert s2[0]["use_rl"], "trainer never switched to RL across hosts"
+    assert s2[0]["epoch"] >= 3
+    print(
+        f"multiprocess trainer lifecycle ok: XE -> resume -> forced "
+        f"patience -> RL switch -> SCST on {nprocs} hosts; epoch "
+        f"{s2[0]['epoch']}, params/val_loss identical across hosts "
+        f"(sha {s2[0]['params_sha'][:12]})"
+    )
+
+    # stage 3: elastic host-count resume — ONE process owning all the
+    # devices resumes the 2-host checkpoint mid-SCST and continues (the
+    # checkpoint is host-count-agnostic: replicated state + loader epoch
+    # counters; batch-8 gcd gives the single process a 4-way dp mesh)
+    s3 = _run_trainer_stage(1, nprocs * devices, data_dir, out_dir,
+                            max_epochs=1, timeout=timeout)
+    assert s3[0]["use_rl"], "elastic resume lost the RL phase"
+    assert s3[0]["epoch"] > s2[0]["epoch"], (
+        f"elastic resume did not advance: epoch {s3[0]['epoch']} "
+        f"vs {s2[0]['epoch']}"
+    )
+    print(
+        f"elastic resume ok: 1 process x {nprocs * devices} devices "
+        f"continued the {nprocs}-host SCST checkpoint to epoch "
+        f"{s3[0]['epoch']}"
+    )
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -356,9 +520,12 @@ def main() -> None:
     ap.add_argument("--out-dir", default="")
     ap.add_argument("--timeout", type=int, default=1200)
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--trainer-worker", type=int, default=None,
+                    help=argparse.SUPPRESS)
     ap.add_argument("--baseline", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--port", type=int, default=0, help=argparse.SUPPRESS)
     ap.add_argument("--data-dir", default="", help=argparse.SUPPRESS)
+    ap.add_argument("--max-epochs", type=int, default=1, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.baseline:
@@ -366,6 +533,9 @@ def main() -> None:
     elif args.worker is not None:
         run_worker(args.worker, args.nprocs, args.port, args.data_dir,
                    args.out_dir)
+    elif args.trainer_worker is not None:
+        run_trainer_worker(args.trainer_worker, args.nprocs, args.port,
+                           args.data_dir, args.out_dir, args.max_epochs)
     else:
         run_driver(args.nprocs, args.devices, args.out_dir, args.timeout)
 
