@@ -817,9 +817,19 @@ class BaseTrainer:
     def _ckpt_io(self):
         io = getattr(self, "_ckpt_io_cached", None)
         if io is None:
-            io = ckpt.get_backend(
-                self.config.TRAINING.get("CHECKPOINT_BACKEND", "native")
-            )
+            name = str(self.config.TRAINING.get("CHECKPOINT_BACKEND", "native"))
+            if self._multihost and name.lower() == "orbax":
+                # the orbax AsyncCheckpointer coordinates its own multihost
+                # barriers and expects EVERY process to call save — under
+                # the host-0-gated single-writer scheme used here it would
+                # deadlock waiting for the other hosts
+                logger.warning(
+                    "multi-host runs use the native checkpoint backend "
+                    "(host-0-gated single writer); ignoring "
+                    "CHECKPOINT_BACKEND: orbax"
+                )
+                name = "native"
+            io = ckpt.get_backend(name)
             self._ckpt_io_cached = io
         return io
 

@@ -107,3 +107,25 @@ def test_attn_block_must_divide_batch():
     pm = jnp.ones((N, L, 1, 1), jnp.float32)
     with pytest.raises(ValueError, match="must divide"):
         beam_select_attention(q, k, v, anc, pm, block_images=4)
+
+
+def test_multihost_forces_native_checkpoint_backend():
+    # the orbax AsyncCheckpointer runs its own multihost barriers and
+    # expects every process to call save; under the host-0-gated writer
+    # it would deadlock, so multi-host trainers must fall back to native
+    from openviic_tpu.config.node import ConfigNode
+    from openviic_tpu.training import checkpoint as ckpt
+    from openviic_tpu.training.trainer import BaseTrainer
+
+    class _Shim:
+        _ckpt_io = BaseTrainer._ckpt_io
+
+    shim = _Shim()
+    shim.config = ConfigNode({"TRAINING": {"CHECKPOINT_BACKEND": "orbax"}})
+    shim._multihost = True
+    assert type(shim._ckpt_io) is type(ckpt.get_backend("native"))
+
+    single = _Shim()
+    single.config = ConfigNode({"TRAINING": {"CHECKPOINT_BACKEND": "orbax"}})
+    single._multihost = False
+    assert type(single._ckpt_io) is type(ckpt.get_backend("orbax"))
