@@ -37,8 +37,26 @@ class CaptioningPipeline:
         use_bf16: bool = True,
         checkpoint_name: Optional[str] = None,
         head_kernel: Optional[Union[bool, int]] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        decode batches are dp-sharded across it (params replicated), so one
+        pipeline serves all chips of a slice; ``batch_size`` must divide by
+        the data-axis size.  Pass ``mesh="auto"`` to span every local
+        device.  Single-chip behaviour is unchanged when omitted."""
         self.config = config
+        if mesh == "auto":
+            from openviic_tpu.parallel import make_mesh
+
+            mesh = make_mesh({"data": len(jax.devices())})
+        self.mesh = mesh
+        if mesh is not None:
+            ndata = mesh.shape.get("data", 1)
+            if batch_size % ndata:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh "
+                    f"data axis ({ndata})"
+                )
 
         # opt-in persistent XLA compile cache — serving rollouts skip the
         # 20-40 s first-compile tax on restart (utils/compile_cache.py)
@@ -79,7 +97,14 @@ class CaptioningPipeline:
         # — otherwise every decode call re-uploads the full parameter set
         # (~200 MB fp32 at reference scale, measured seconds per batch over
         # a remote-TPU link)
-        self.params = jax.device_put(loaded["state"]["params"])
+        if self.mesh is not None:
+            from openviic_tpu.parallel.mesh import replicate_sharding
+
+            self.params = jax.device_put(
+                loaded["state"]["params"], replicate_sharding(self.mesh)
+            )
+        else:
+            self.params = jax.device_put(loaded["state"]["params"])
         logger.info("Loaded %s (epoch %s)", path, loaded.get("epoch"))
 
         self._decode = None
@@ -149,6 +174,14 @@ class CaptioningPipeline:
                 )
                 for k, v in batch.arrays().items()
             }
+            if self.mesh is not None:
+                # dp-shard the fixed-size batch across the mesh; the beam
+                # searcher detects the sharded operands and lets GSPMD
+                # partition the whole decode (Pallas fast paths auto-gate
+                # off — decoding/beam_search.py _batch_spans_devices)
+                from openviic_tpu.parallel.mesh import batch_sharding
+
+                arrays = jax.device_put(arrays, batch_sharding(self.mesh))
             outs, _ = decode(self.params, batch=arrays)
             caps = self.vocab.decode_caption(np.asarray(outs))
             results.extend(caps[: len(chunk)])
