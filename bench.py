@@ -122,8 +122,21 @@ def bench_jax() -> tuple:
             outs, _ = decode(params, batch=one)
         np.asarray(outs)
         reps.append((time.perf_counter() - t0) / K)
-    p50_ms = float(np.median(reps) * 1e3)
-    return throughput, p50_ms
+    p50_pipelined_ms = float(np.median(reps) * 1e3)
+
+    # wall p50: one D2H materialisation per call — includes the tunnel's
+    # per-call round-trip tax, so it IS comparable to the round-1/2
+    # numbers (the r3 methodology switch made p50 look 13x faster;
+    # emitting both keeps BENCH_r0N.json deltas meaningful — VERDICT r3
+    # weak #7 / next #9)
+    walls = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        outs, _ = decode(params, batch=one)
+        np.asarray(outs)
+        walls.append(time.perf_counter() - t0)
+    p50_wall_ms = float(np.median(walls) * 1e3)
+    return throughput, p50_pipelined_ms, p50_wall_ms
 
 
 def bench_trained() -> dict:
@@ -312,7 +325,7 @@ def bench_torch_reference() -> float:
 
 
 def main() -> None:
-    value, p50_ms = bench_jax()
+    value, p50_ms, p50_wall_ms = bench_jax()
     try:
         trained = bench_trained()
     except Exception as e:  # missing artifact must not kill the bench
@@ -332,6 +345,8 @@ def main() -> None:
         "baseline_captions_per_sec": round(baseline, 2) if baseline else None,
         "baseline_hw": "torch-cpu reference-mechanics decode (no GPU available)",
         "p50_per_image_latency_ms": round(p50_ms, 2),
+        "p50_pipelined_ms": round(p50_ms, 2),
+        "p50_wall_ms": round(p50_wall_ms, 2),
         "decode_dtype": "bfloat16", "config": {
             "beam": BEAM, "vocab": VOCAB_SIZE, "max_len": MAX_LEN,
             "batch": JAX_BATCH, "d_model": D_MODEL, "layers": LAYERS,

@@ -51,7 +51,15 @@ class CaptioningPipeline:
             mesh = make_mesh({"data": len(jax.devices())})
         self.mesh = mesh
         if mesh is not None:
-            ndata = mesh.shape.get("data", 1)
+            if "data" not in mesh.shape:
+                # fail here with the docstring's stated contract — without
+                # this, batch_sharding's PartitionSpec('data') dies deep in
+                # jax.device_put with an opaque error at first decode
+                raise ValueError(
+                    "mesh must have a 'data' axis (got axes "
+                    f"{tuple(mesh.shape.keys())})"
+                )
+            ndata = mesh.shape["data"]
             if batch_size % ndata:
                 raise ValueError(
                     f"batch_size {batch_size} not divisible by the mesh "

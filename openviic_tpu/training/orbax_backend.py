@@ -10,7 +10,15 @@ two-slot semantics but stores arrays through Orbax:
    continues while the checkpoint lands;
  - **multi-host coordination**: Orbax serialises distributed arrays
    correctly under ``jax.distributed`` (each host writes its shards; a
-   barrier finalises the commit), which a host-local pickle cannot do;
+   barrier finalises the commit), which a host-local pickle cannot do.
+   Under ``jax.process_count() > 1`` this backend is COLLECTIVE
+   (``MULTIHOST_COLLECTIVE``): every process must call
+   ``save_checkpoint``/``load_checkpoint``/``copy``/``wait`` in lockstep
+   — the trainer routes around its host-0-gated single-writer scheme for
+   such backends (training/trainer.py ``save_checkpoint``).  Filesystem
+   mutations outside Orbax (staging cleanup, the commit swap, best-model
+   copies) run on process 0 only, fenced by global barriers, and assume
+   a filesystem shared across hosts (the standard TPU-pod setup);
  - **atomic commit**: Orbax writes to a temp dir and renames on finalise,
    same crash-safety as the native tmp+rename.
 
@@ -53,12 +61,31 @@ def _np_rng_from_json(data) -> tuple:
 class OrbaxBackend:
     LAST_NAME = LAST_NAME
     BEST_NAME = BEST_NAME
+    # every process participates in save/load/copy/wait (lockstep); the
+    # trainer must NOT host-0-gate calls into a collective backend
+    MULTIHOST_COLLECTIVE = True
 
     def __init__(self):
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
         self._ckptr = ocp.AsyncCheckpointer(ocp.CompositeCheckpointHandler())
+        self._multihost = jax.process_count() > 1
+        self._primary = jax.process_index() == 0
+        self._sync_n = 0
+
+    def _sync(self, tag: str) -> None:
+        """Global barrier fencing a process-0-only filesystem mutation.
+        Called in lockstep on every process (collective contract above);
+        the counter keeps successive barrier names distinct so a skewed
+        caller fails loudly in sync_global_devices instead of silently
+        pairing the wrong barriers."""
+        if not self._multihost:
+            return
+        from jax.experimental import multihost_utils
+
+        self._sync_n += 1
+        multihost_utils.sync_global_devices(f"ov_orbax_{tag}_{self._sync_n}")
 
     def save_checkpoint(
         self, path: str, state: Dict[str, Any], extras: Dict[str, Any],
@@ -93,8 +120,9 @@ class OrbaxBackend:
             **extras,
         }
         staging = os.path.abspath(path) + ".staging"
-        if os.path.isdir(staging):
+        if self._primary and os.path.isdir(staging):
             shutil.rmtree(staging)
+        self._sync("staging_clean")  # no host writes into a dir being deleted
         self._ckptr.save(
             staging,
             args=ocp.args.Composite(
@@ -110,10 +138,11 @@ class OrbaxBackend:
             return
         staging, final = pending
         self._pending_swap = None
-        if os.path.isdir(staging):
+        if self._primary and os.path.isdir(staging):
             if os.path.isdir(final):
                 shutil.rmtree(final)
             os.rename(staging, final)
+        self._sync("swap_done")  # the renamed dir is visible everywhere
 
     def load_checkpoint(
         self, path: str, params_template=None, opt_state_template=None
@@ -123,11 +152,14 @@ class OrbaxBackend:
             # crash window fallback: a fully-committed staging dir whose
             # swap never ran (never adopt an uncommitted partial write)
             staging = path + ".staging"
-            if os.path.isdir(staging) and self._ocp.utils.is_checkpoint_finalized(
+            adopt = os.path.isdir(staging) and self._ocp.utils.is_checkpoint_finalized(
                 staging
-            ):
-                os.rename(staging, path)
-            else:
+            )
+            if adopt:
+                if self._primary:
+                    os.rename(staging, path)
+                self._sync("adopt_staging")
+            if not os.path.isdir(path):
                 return None
         restored = self._ckptr.restore(os.path.abspath(path))
         payload, meta = restored["state"], dict(restored["meta"])
@@ -145,13 +177,18 @@ class OrbaxBackend:
     def copy(self, src: str, dst: str) -> None:
         """best_model <- last_model (the reference's file copy on improve)."""
         self.wait()  # the async save of `src` must have committed + swapped
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        shutil.copytree(src, dst)
+        if self._primary:
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(src, dst)
+        self._sync("copy_done")
 
     def exists(self, path: str) -> bool:
         return os.path.isdir(path) or os.path.isdir(path + ".staging")
 
     def wait(self) -> None:
-        self._ckptr.wait_until_finished()
+        self._ckptr.wait_until_finished()  # this host's shards committed
+        if getattr(self, "_pending_swap", None) is not None:
+            # every host's async write must land before process 0 renames
+            self._sync("write_done")
         self._finish_swap()

@@ -818,20 +818,19 @@ class BaseTrainer:
         io = getattr(self, "_ckpt_io_cached", None)
         if io is None:
             name = str(self.config.TRAINING.get("CHECKPOINT_BACKEND", "native"))
-            if self._multihost and name.lower() == "orbax":
-                # the orbax AsyncCheckpointer coordinates its own multihost
-                # barriers and expects EVERY process to call save — under
-                # the host-0-gated single-writer scheme used here it would
-                # deadlock waiting for the other hosts
-                logger.warning(
-                    "multi-host runs use the native checkpoint backend "
-                    "(host-0-gated single writer); ignoring "
-                    "CHECKPOINT_BACKEND: orbax"
-                )
-                name = "native"
             io = ckpt.get_backend(name)
             self._ckpt_io_cached = io
         return io
+
+    @property
+    def _ckpt_collective(self) -> bool:
+        """True when the backend must be called on EVERY process (orbax:
+        each host writes its own array shards, orbax runs the commit
+        barriers) — such calls must NOT be host-0-gated or the other
+        hosts deadlock in the backend's collectives."""
+        return self._multihost and bool(
+            getattr(self._ckpt_io, "MULTIHOST_COLLECTIVE", False)
+        )
 
     def save_checkpoint(self, extras: Dict) -> None:
         # loader shuffle counters travel with the checkpoint: the XE loader
@@ -844,17 +843,25 @@ class BaseTrainer:
             "train": int(getattr(self.train_dataloader, "epoch", 0)),
             "train_dict": int(getattr(self.train_dict_dataloader, "epoch", 0)),
         }
-        if not self._multihost or jax.process_index() == 0:
-            # dp state is replicated, so host 0 alone writes the file (its
-            # local replicas are fully addressable); the barrier below
-            # keeps other hosts from racing ahead to a load
+        if (
+            self._ckpt_collective
+            or not self._multihost
+            or jax.process_index() == 0
+        ):
+            # collective backends (orbax): EVERY process calls save — each
+            # host writes its own shards asynchronously and orbax runs the
+            # commit barriers, so no extra wait/barrier here (a later load
+            # waits first).  Single-writer backends (native pickle): the dp
+            # state is replicated, so host 0 alone writes the file (its
+            # local replicas are fully addressable) and the barrier below
+            # keeps other hosts from racing ahead to a load.
             self._ckpt_io.save_checkpoint(
                 os.path.join(self.checkpoint_path, self._ckpt_io.LAST_NAME),
                 self.state,
                 {"epoch": self.epoch, "loader_epochs": loader_epochs, **extras},
                 frozen_mask=self._frozen_mask,
             )
-        if self._multihost:
+        if self._multihost and not self._ckpt_collective:
             self._ckpt_io.wait()  # async backends: commit before the barrier
             _mh_barrier("ckpt_save")
 
@@ -1055,9 +1062,14 @@ class BaseTrainer:
                 }
             )
             if best:
-                if not self._multihost or jax.process_index() == 0:
+                if (
+                    self._ckpt_collective
+                    or not self._multihost
+                    or jax.process_index() == 0
+                ):
+                    # collective backends barrier inside copy() themselves
                     self._ckpt_io.copy(last, best_file)
-                if self._multihost:
+                if self._multihost and not self._ckpt_collective:
                     # the RL switch may load best_file next epoch on every
                     # host — make the copy visible before anyone proceeds
                     _mh_barrier("ckpt_best")

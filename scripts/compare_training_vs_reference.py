@@ -168,9 +168,10 @@ def run_reference(cfg, epochs: int):
         # reference bug shim (same as tests/test_reference_parity.py
         # _fix_ort_encoder_forward): the reference's encoder_forward passes
         # a bare Instance to GeometricEncoder.forward(features, boxes,
-        # padding_mask) and crashes at beam-search time
-        # (models/object_relation_transformer.py:33-43) — unpack the
-        # fields as intended so the torch half can decode at all
+        # padding_mask) (models/object_relation_transformer.py:33-43).
+        # encoder_forward sits on BOTH halves — the training forward and
+        # beam search — so the shim is required for the torch side to run
+        # at all, not just to decode
         import types
 
         def encoder_forward(self, input_features):
