@@ -72,8 +72,20 @@ def shared_config(root: str, ckpt: str, name: str, *, d_model: int = 64,
                "AugmentedMemoryScaledDotProductAttention", "MeshedDecoder"),
         "ort": ("ObjectRelationTransformer", "GeometricEncoder",
                 "AugmentedGeometryScaledDotProductAttention", "Decoder"),
+        # round-4 qualification extensions (VERDICT r3 next #1): aoa =
+        # the AoA-gating family (configs/attention_on_attention.yaml —
+        # StandardTransformerUsingRegion with USE_AOA in every MHA),
+        # camo = the cross-layer-fusion family
+        # (configs/camo_transformer.yaml, encoders.py:214-248)
+        "aoa": ("StandardTransformerUsingRegion", "Encoder",
+                "ScaledDotProductAttention", "Decoder"),
+        "camo": ("CamoTransformer", "CrossAttentionMultiLevelEncoder",
+                 "ScaledDotProductAttention", "Decoder"),
     }
     model_arch, enc_arch, enc_attn_arch, dec_arch = arch_map[arch]
+    if arch == "aoa":
+        attn = dict(attn, USE_AOA=True)
+        attn_stateful = dict(attn_stateful, USE_AOA=True)
     enc_attn = dict(attn, ARCHITECTURE=enc_attn_arch)
     return ConfigNode(
         {
@@ -258,7 +270,8 @@ def main() -> None:
     parser.add_argument("--dict-batch", type=int, default=6)
     parser.add_argument("--warmup", type=int, default=100)
     parser.add_argument("--beam", type=int, default=3)
-    parser.add_argument("--arch", choices=["standard", "m2", "ort"],
+    parser.add_argument("--arch",
+                        choices=["standard", "m2", "ort", "aoa", "camo"],
                         default="standard")
     parser.add_argument("--memory", type=int, default=8,
                         help="m2 memory slots (reference config: 40)")
