@@ -65,6 +65,11 @@ def main(argv=None) -> None:
                     help="JSON {image_id: [[x1,y1,x2,y2], ...]}")
     ap.add_argument("--pixel-boxes", action="store_true",
                     help="region boxes are in pixels (default: normalized)")
+    ap.add_argument("--grid-as-regions", action="store_true",
+                    help="no box source: use the grid cells as region "
+                         "boxes so region-consuming models get a region "
+                         "stream (same fallback serving.caption_images "
+                         "applies)")
     args = ap.parse_args(argv)
 
     try:
@@ -87,6 +92,8 @@ def main(argv=None) -> None:
         if boxes is not None and args.pixel_boxes:
             w, h = image.size
             boxes = boxes / np.asarray([w, h, w, h], np.float32)
+        if boxes is None and args.grid_as_regions:
+            boxes = gboxes
         payload = extract_feature_dict(image, backbone, gboxes, boxes)
         np.save(os.path.join(args.out, f"{image_id}.npy"), payload,
                 allow_pickle=True)
