@@ -109,6 +109,16 @@ class GeometricDualFeatureEmbedding(nn.Module):
         n_regions = region_features.shape[1]
         n_grids = grid_features.shape[1]
         region2grid_masks = jnp.asarray(get_combine_masks(region_boxes, grid_size))
+        if grid_size * grid_size != n_grids:
+            # the loader bucket-pads variable-row streams to a multiple of
+            # 8 (data/loader.py), so the grid stream can carry padding rows
+            # past the square grid (49 -> 56); those rows are padding and
+            # must be masked (True) in the visibility matrices
+            region2grid_masks = jnp.pad(
+                region2grid_masks,
+                ((0, 0), (0, 0), (0, 0), (0, n_grids - grid_size * grid_size)),
+                constant_values=True,
+            )
         grid2region_masks = jnp.transpose(region2grid_masks, (0, 1, 3, 2))
         # The reference concatenates (bs,1,1,n_r) padding masks directly with
         # the (bs,1,n_r,n_g) visibility masks (vision_embeddings.py:62-63),
