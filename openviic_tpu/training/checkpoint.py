@@ -132,6 +132,21 @@ def save_checkpoint(path: str, state: Dict[str, Any], extras: Dict[str, Any],
     os.replace(tmp, path)
 
 
+def _wrap_rng(raw: np.ndarray):
+    """Re-typify saved PRNG key data, preserving its original impl.
+
+    A checkpoint written by an ``RNG_IMPL: rbg`` TPU run carries (4,)
+    key data; a process that never set the default impl (serving,
+    predict.py, cross-platform eval) would crash in ``wrap_key_data``
+    under threefry's (2,) expectation — infer the impl from the
+    trailing shape instead of trusting the process default."""
+    try:
+        return jax.random.wrap_key_data(raw)
+    except TypeError:
+        impl = "rbg" if raw.shape[-1:] == (4,) else "threefry2x32"
+        return jax.random.wrap_key_data(raw, impl=impl)
+
+
 class NativeBackend:
     """The default single-file pickle backend (this module's functions)."""
 
@@ -202,7 +217,7 @@ def load_checkpoint(
             opt_state = None
     else:  # structural pickle — restored as-is, phase-independent
         opt_state = raw_opt
-    rng = jax.random.wrap_key_data(np.asarray(payload["rng"]))
+    rng = _wrap_rng(np.asarray(payload["rng"]))
     np.random.set_state(payload["numpy_rng_state"])
     state = {
         "params": params,

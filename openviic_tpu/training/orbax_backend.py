@@ -43,6 +43,8 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
+from openviic_tpu.training.checkpoint import _wrap_rng as _ckpt_wrap_rng
+
 LAST_NAME = "last_model.orbax"
 BEST_NAME = "best_model.orbax"
 
@@ -170,7 +172,9 @@ class OrbaxBackend:
             "params": payload["params"],
             "opt_state": opt_state,
             "step": int(np.asarray(payload["step"])),
-            "rng": jax.random.wrap_key_data(np.asarray(payload["rng"])),
+            # impl-preserving wrap (see checkpoint._wrap_rng): rbg-run
+            # checkpoints must load in default-impl processes too
+            "rng": _ckpt_wrap_rng(np.asarray(payload["rng"])),
         }
         return {"state": state, **meta}
 
