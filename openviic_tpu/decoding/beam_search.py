@@ -229,8 +229,12 @@ def _supports_beam_resident(model) -> bool:
 
 def _split_cache(cache):
     """Separate the per-step-mutable part (self KV + pad) from the static
-    cross-attention KV, so the scan carry (gathered every step) stays small."""
-    static = [{"cross": lc["cross"]} for lc in cache["layers"]]
+    cross-attention KV (and the optional precomputed language-signal
+    table), so the scan carry (gathered every step) stays small."""
+    static = {
+        "layers": [{"cross": lc["cross"]} for lc in cache["layers"]],
+        "language_table": cache.get("language_table"),
+    }
     dynamic = {
         "layers": [{"self": lc["self"]} for lc in cache["layers"]],
         "pad": cache["pad"],
@@ -241,9 +245,12 @@ def _split_cache(cache):
 def _merge_cache(static, dynamic):
     layers = [
         {"self": d["self"], "cross": s["cross"]}
-        for s, d in zip(static, dynamic["layers"])
+        for s, d in zip(static["layers"], dynamic["layers"])
     ]
-    return {"layers": layers, "pad": dynamic["pad"]}
+    merged = {"layers": layers, "pad": dynamic["pad"]}
+    if static.get("language_table") is not None:
+        merged["language_table"] = static["language_table"]
+    return merged
 
 
 def beam_search(
@@ -263,9 +270,16 @@ def beam_search(
     unroll: Union[bool, int] = False,
     head_kernel: Union[bool, int] = False,
     attn_kernel: bool = False,
+    language_table: Optional[jnp.ndarray] = None,
     _return_stream: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run batched beam search; returns (outputs, log_probs).
+
+    ``language_table``: optional precomputed (vocab, d) language-signal
+    table for AdaptiveDecoder models (RSTNet) — replaces the per-step
+    frozen-LM forward with a gather, exact because the step LM sees only
+    the current token (models/decoders.py AdaptiveDecoder.step).  Compute
+    once per checkpoint via ``model.compute_language_table``.
 
     outputs: (bs, out_size, max_len) int32 (squeezed to (bs, max_len) when
     out_size == 1), log_probs likewise — matching the reference's return
@@ -352,6 +366,13 @@ def beam_search(
             cache,
         )
     cache = model.apply(params, cache, memory, method=model.prepare_cache)
+    if language_table is not None:
+        table = jnp.asarray(language_table)
+        if compute_dtype is not None and jnp.issubdtype(
+            table.dtype, jnp.floating
+        ):
+            table = table.astype(compute_dtype)
+        cache["language_table"] = table
     static_cache, dynamic_cache = _split_cache(cache)
 
     vocab_size = len(vocab)
@@ -782,9 +803,12 @@ class BeamSearcher:
         return self.head_kernel
 
     def __call__(self, params, batch, beam_size: int, out_size: int = 1,
-                 dropout_rng: Optional[jax.Array] = None):
+                 dropout_rng: Optional[jax.Array] = None,
+                 language_table: Optional[jax.Array] = None):
         """``dropout_rng``: sample with dropout active (a traced argument —
-        a fresh rng per call re-uses the compiled program)."""
+        a fresh rng per call re-uses the compiled program).
+        ``language_table``: precomputed (vocab, d) signal table for
+        AdaptiveDecoder models (also a traced operand)."""
         head_kernel = self._effective_head_kernel(batch, beam_size)
         attn_kernel = self.attn_kernel
         if (head_kernel or attn_kernel) and _batch_spans_devices(batch):
@@ -793,7 +817,7 @@ class BeamSearcher:
             head_kernel = attn_kernel = False
         key = (
             beam_size, out_size, dropout_rng is not None,
-            head_kernel, attn_kernel,
+            head_kernel, attn_kernel, language_table is not None,
         )
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
@@ -808,8 +832,9 @@ class BeamSearcher:
                     attn_kernel=attn_kernel,
                 )
             )
+        kwargs = {}
         if dropout_rng is not None:
-            return self._compiled[key](
-                params, batch=batch, train_dropout_rng=dropout_rng
-            )
-        return self._compiled[key](params, batch=batch)
+            kwargs["train_dropout_rng"] = dropout_rng
+        if language_table is not None:
+            kwargs["language_table"] = language_table
+        return self._compiled[key](params, batch=batch, **kwargs)

@@ -74,6 +74,15 @@ class BaseTransformer(nn.Module):
     def prepare_cache(self, cache: DecodeCache, encoder_features) -> DecodeCache:
         return self.decoder.prepare_cache(cache, encoder_features)
 
+    def compute_language_table(self):
+        """(vocab, d) precomputed language-signal table, or None for
+        decoders without a frozen-LM stream.  Serving computes this once
+        per checkpoint and passes it to ``beam_search(language_table=…)``
+        — see AdaptiveDecoder.language_signal_table for the exactness
+        argument."""
+        fn = getattr(self.decoder, "language_signal_table", None)
+        return None if fn is None else fn()
+
     def decode_step(self, t, tokens_t, cache: DecodeCache, encoder_attention_mask,
                     ancestry=None, beam_select=None, raw_head: bool = False,
                     resident_kernel: bool = False, attn_kernel: bool = False,

@@ -131,6 +131,26 @@ def test_adaptive_decoder_beam_search(tiny_vocab):
     assert outs.shape == (2, tiny_vocab.max_caption_length)
     assert np.isfinite(np.asarray(lps)).all()
 
+    # round-4 serving fast path: the step LM sees only the current token,
+    # so a precomputed (vocab, d) signal table + gather is EXACT — decode
+    # must be token- and logprob-identical with the table supplied
+    table = model.apply(params, method=model.compute_language_table)
+    assert table.shape == (len(tiny_vocab), D_MODEL)
+    outs_t, lps_t = beam_search(
+        model, params, batch, beam_size=2, out_size=1, language_table=table
+    )
+    np.testing.assert_array_equal(np.asarray(outs), np.asarray(outs_t))
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(lps_t), atol=1e-6)
+
+    # non-adaptive models have no table (serving gates on the arch name)
+    from openviic_tpu.builders import build_model as _bm
+
+    std = _bm(model_config(), tiny_vocab)
+    std_params = std.init(jax.random.PRNGKey(0), batch)
+    assert std.apply(
+        std_params, method=std.compute_language_table
+    ) is None
+
 
 # ------------------------------------------------- beam-resident decode
 @pytest.mark.parametrize(
