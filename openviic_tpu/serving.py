@@ -275,7 +275,13 @@ class CaptioningPipeline:
     def caption_directory(
         self, features_dir: str, image_ids: Optional[Iterable] = None
     ) -> Dict[str, str]:
-        """Caption every ``<id>.npy`` in a directory -> {id: caption}."""
+        """Caption every ``<id>.npy`` in a directory -> {id: caption}.
+
+        IO-pipelined (round 4): the next batch's feature files load in a
+        background thread while the current batch decodes — the decode
+        measurements showed the pipeline host-IO-bound at variant shapes
+        (PERF.md "variant decode throughput"), and loading the whole
+        directory up front also held every feature in memory at once."""
         if image_ids is None:
             image_ids = [
                 os.path.splitext(f)[0]
@@ -283,13 +289,31 @@ class CaptioningPipeline:
                 if f.endswith(".npy")
             ]
         image_ids = list(image_ids)
-        feature_dicts = []
-        for image_id in image_ids:
-            payload = np.load(
-                os.path.join(features_dir, f"{image_id}.npy"), allow_pickle=True
-            )[()]
-            feature_dicts.append(
-                {k: np.asarray(v, dtype=np.float32) for k, v in payload.items()}
-            )
-        captions = self.caption_features(feature_dicts)
+        if not image_ids:
+            return {}
+
+        def load_chunk(ids) -> List[Dict]:
+            out = []
+            for image_id in ids:
+                payload = np.load(
+                    os.path.join(features_dir, f"{image_id}.npy"),
+                    allow_pickle=True,
+                )[()]
+                out.append(
+                    {k: np.asarray(v, np.float32) for k, v in payload.items()}
+                )
+            return out
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        B = self.batch_size
+        chunks = [image_ids[i : i + B] for i in range(0, len(image_ids), B)]
+        captions: List[str] = []
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(load_chunk, chunks[0])
+            for n in range(len(chunks)):
+                current = fut.result()
+                if n + 1 < len(chunks):  # exactly one chunk prefetched
+                    fut = ex.submit(load_chunk, chunks[n + 1])
+                captions.extend(self.caption_features(current))
         return dict(zip([str(i) for i in image_ids], captions))
