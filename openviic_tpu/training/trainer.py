@@ -784,12 +784,34 @@ class BaseTrainer:
         logger.info("Epoch %d - validation loss %.4f", self.epoch, val_loss)
         return val_loss
 
+    def _language_table(self):
+        """Precomputed (vocab, d) language-signal table for AdaptiveDecoder
+        eval decode (serving has the same fast path) — exact because the
+        step LM sees only the current token; recomputed per eval call
+        since params change between epochs.  None for other decoders and
+        for dropout-active SCST sampling (the table is deterministic)."""
+        if self.config.MODEL.DECODER.ARCHITECTURE != "AdaptiveDecoder":
+            return None
+        fn = getattr(self, "_language_table_fn", None)
+        if fn is None:
+            fn = self._language_table_fn = jax.jit(
+                lambda p: self.model.apply(
+                    p, method=self.model.compute_language_table
+                )
+            )
+        return fn(self.state["params"])
+
     def _decode_loader(self, dataloader: DataLoader, beam_size: int):
         """Yields (it, items, list_of_caption_word_lists).
 
         On a mesh the eval batch is data-parallel-sharded, so the beam
         decode runs across all chips (tested single-device-equal in
         tests/test_tensor_parallel.py::test_sharded_decode...)."""
+        language_table = self._language_table()
+        extra = (
+            {} if language_table is None
+            else {"language_table": language_table}
+        )
         for it, items in enumerate(dataloader):
             if self._multihost:
                 # replicated eval decode (see _device_batch): identical
@@ -803,7 +825,8 @@ class BaseTrainer:
                     mesh = None
                 batch = _device_batch(items, mesh)
             outs, _ = self.beam_searcher(
-                self.state["params"], batch, beam_size=beam_size, out_size=1
+                self.state["params"], batch, beam_size=beam_size, out_size=1,
+                **extra,
             )
             if self._dtype_guard_enabled and not self._dtype_guard_done:
                 self._dtype_guard_done = True
