@@ -660,6 +660,18 @@ class BaseTrainer:
         sample_dropout = bool(
             self.config.TRAINING.get("SCST_SAMPLE_DROPOUT", False)
         )
+        # AdaptiveDecoder SCST sampling without dropout is deterministic,
+        # so the precomputed language table applies (recomputed per epoch;
+        # gated on the frozen-backbone mask — with the LM stream frozen
+        # the table is constant through the epoch and sampling stays
+        # exactly on-policy; an unfrozen LM would drift from it)
+        scst_table = (
+            None if sample_dropout or self._frozen_mask is None
+            else self._language_table()
+        )
+        scst_extra = {} if scst_table is None else {
+            "language_table": scst_table
+        }
         pairs = device_prefetch(self.train_dict_dataloader, _scst_place)
         for items, batch in pairs:
             sample_rng = (
@@ -668,7 +680,7 @@ class BaseTrainer:
             )
             outs, _ = self.beam_searcher(
                 self.state["params"], batch, beam_size=beam, out_size=beam,
-                dropout_rng=sample_rng,
+                dropout_rng=sample_rng, **scst_extra,
             )
             bs = outs.shape[0]
             sampled_dev = outs.reshape(bs * beam, -1)

@@ -478,6 +478,16 @@ def test_adaptive_decoder_trainer_end_to_end(tmp_path_factory, tiny_dataset_dir)
     scores = tr.evaluate_metrics(tr.val_dict_dataloader)
     assert np.isfinite(scores["CIDEr"])
 
+    # round 4: eval decode + deterministic SCST sampling both route the
+    # precomputed language-signal table (frozen LM -> exact, trainer
+    # _language_table); run one SCST epoch through that path
+    assert tr._frozen_mask is not None  # LM backbone is frozen
+    assert tr._language_table() is not None
+    tr.use_rl = True
+    tr._ensure_scst()
+    rl_loss = tr.train_scst()
+    assert np.isfinite(rl_loss)
+
 
 def test_scst_with_device_reward(tmp_path_factory, tiny_dataset_dir):
     """TRAINING.DEVICE_REWARD runs SCST with the on-device CIDEr."""
