@@ -338,7 +338,12 @@ class BaseTrainer:
         self.model = build_model(config.MODEL, self.vocab)
 
         example = _device_batch(next(iter(self.train_dataloader)))
-        init_rng, state_rng = jax.random.split(jax.random.PRNGKey(42))
+        # TRAINING.SEED (round 4): seeds param init + the training rng
+        # stream (dropout/SCST sampling).  Default 42 keeps every
+        # pre-existing run/test bit-identical; vary it for init-seed
+        # ablations (e.g. the noisy-benchmark spread study in PERF.md).
+        seed = int(config.TRAINING.get("SEED", 42))
+        init_rng, state_rng = jax.random.split(jax.random.PRNGKey(seed))
         params = self.model.init(init_rng, example)
 
         self.optimizer = make_optimizer(

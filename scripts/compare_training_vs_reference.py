@@ -283,6 +283,9 @@ def main() -> None:
                         help="repo half: mixed precision + bf16 decode")
     parser.add_argument("--out", default=None,
                         help="also write the result JSON to this path")
+    parser.add_argument("--repo-seed", type=int, default=None,
+                        help="repo half: TRAINING.SEED override (init-seed "
+                             "spread study, PERF.md noisy benchmark)")
     args = parser.parse_args()
 
     if not os.path.exists(os.path.join(args.root, "train.json")):
@@ -305,6 +308,8 @@ def main() -> None:
             args.root, f"/tmp/repo_compare_ckpt_{tag}", "repo_compare",
             rbg=args.rbg, bf16=args.bf16, **shape,
         )
+        if args.repo_seed is not None:
+            cfg_repo.TRAINING._data["SEED"] = args.repo_seed
         print("== running repo trainer ==", flush=True)
         repo = run_repo(cfg_repo, args.epochs)
         result["repo"] = {k: v for k, v in repo.items() if k != "gens"}
