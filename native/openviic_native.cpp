@@ -415,16 +415,20 @@ double* ov_meteor_score(const char* gens, const char* refs) {
 }
 
 // ------------------------------------------- METEOR 1.5 (en-norm)
-// Mirrors openviic_tpu/evaluation/meteor15.py exactly (exact + stem
-// stages; the Python scorer handles the optional synonym/paraphrase data
-// files): beam-search aligner (most matched words, fewest chunks,
+// Mirrors openviic_tpu/evaluation/meteor15.py exactly (all four stages:
+// exact + stem + synonym + paraphrase — data files passed in from the
+// Python side): beam-search aligner (most matched words, fewest chunks,
 // smallest total distance; beam 40), content/function-word weighting
-// (delta=0.75), module weights exact=1.0 stem=0.6, alpha=0.85 beta=0.2
-// gamma=0.6; corpus score from aggregated statistics.
+// (delta=0.75), module weights exact=1.0 stem=0.6 synonym=0.8
+// paraphrase=0.6, alpha=0.85 beta=0.2 gamma=0.6; corpus score from
+// aggregated statistics.  Matches are (start, len) SPANS on both sides
+// (len 1 for the word stages, up to 4 for paraphrase phrases) — the
+// Python scorer's Match tuple.
 
-struct M15Match { int h, r, mod; };
+struct M15Match { int h, hl, r, rl, mod; };
 
 struct M15State {
+  uint64_t hmask0, hmask1;
   uint64_t rmask0, rmask1;
   std::vector<M15Match> ms;
   int dist;
@@ -434,8 +438,20 @@ static int m15_chunks(const std::vector<M15Match>& ms) {
   if (ms.empty()) return 0;  // appended in hyp order already
   int ch = 1;
   for (size_t i = 1; i < ms.size(); ++i)
-    if (ms[i].h != ms[i - 1].h + 1 || ms[i].r != ms[i - 1].r + 1) ++ch;
+    if (ms[i].h != ms[i - 1].h + ms[i - 1].hl ||
+        ms[i].r != ms[i - 1].r + ms[i - 1].rl)
+      ++ch;
   return ch;
+}
+
+// span bitmask over [start, start+len) split across two 64-bit words
+static inline void m15_span_bits(int start, int len, uint64_t& b0,
+                                 uint64_t& b1) {
+  b0 = b1 = 0;
+  for (int k = start; k < start + len && k < 128; ++k) {
+    if (k < 64) b0 |= 1ULL << k;
+    else b1 |= 1ULL << (k - 64);
+  }
 }
 
 // word -> synset ids (small sorted vectors; intersection test is linear)
@@ -454,10 +470,25 @@ static bool m15_syn_share(const M15SynTable& syn, const std::string& a,
   return false;
 }
 
+// phrase -> alternatives (both directions, as meteor15._paraphrase_table)
+typedef std::unordered_map<std::string, std::vector<std::string>> M15ParTable;
+
+static std::string m15_join(const std::vector<std::string>& w, size_t start,
+                            size_t len) {
+  std::string s;
+  for (size_t k = start; k < start + len; ++k) {
+    if (k > start) s += ' ';
+    s += w[k];
+  }
+  return s;
+}
+
 static std::vector<M15Match> m15_align(const std::vector<std::string>& hyp,
                                        const std::vector<std::string>& ref,
-                                       const M15SynTable& syn) {
-  const size_t H = hyp.size(), R = ref.size();
+                                       const M15SynTable& syn,
+                                       const M15ParTable& par) {
+  const size_t H = hyp.size() < 128 ? hyp.size() : 128;
+  const size_t R = ref.size() < 128 ? ref.size() : 128;
   std::vector<std::string> hs(H), rs(R);
   for (size_t i = 0; i < H; ++i) hs[i] = porter(hyp[i]);
   for (size_t j = 0; j < R; ++j) rs[j] = porter(ref[j]);
@@ -465,26 +496,58 @@ static std::vector<M15Match> m15_align(const std::vector<std::string>& hyp,
   // (exact elif stem elif synonym — matching meteor15.py _collect_matches)
   std::vector<std::vector<M15Match>> by_start(H);
   for (size_t i = 0; i < H; ++i)
-    for (size_t j = 0; j < R && j < 128; ++j) {
-      if (hyp[i] == ref[j]) by_start[i].push_back({(int)i, (int)j, 0});
-      else if (hs[i] == rs[j]) by_start[i].push_back({(int)i, (int)j, 1});
+    for (size_t j = 0; j < R; ++j) {
+      if (hyp[i] == ref[j])
+        by_start[i].push_back({(int)i, 1, (int)j, 1, 0});
+      else if (hs[i] == rs[j])
+        by_start[i].push_back({(int)i, 1, (int)j, 1, 1});
       else if (m15_syn_share(syn, hyp[i], ref[j]))
-        by_start[i].push_back({(int)i, (int)j, 2});
+        by_start[i].push_back({(int)i, 1, (int)j, 1, 2});
     }
+  if (!par.empty()) {
+    // paraphrase spans, mirroring _collect_matches: hyp span index by
+    // string, then ref spans (j-major, length ascending) looked up
+    const size_t MAXL = 4;
+    std::unordered_map<std::string, std::vector<std::pair<int, int>>> hspans;
+    for (size_t i = 0; i < H; ++i)
+      for (size_t l = 1; l <= MAXL && i + l <= H; ++l)
+        hspans[m15_join(hyp, i, l)].push_back({(int)i, (int)l});
+    for (size_t j = 0; j < R; ++j)
+      for (size_t l = 1; l <= MAXL && j + l <= R; ++l) {
+        auto it = par.find(m15_join(ref, j, l));
+        if (it == par.end()) continue;
+        for (const auto& alt : it->second) {
+          auto hit = hspans.find(alt);
+          if (hit == hspans.end()) continue;
+          for (const auto& ih : hit->second)
+            by_start[ih.first].push_back(
+                {ih.first, ih.second, (int)j, (int)l, 3});
+        }
+      }
+  }
 
-  std::vector<M15State> states{{0, 0, {}, 0}};
+  std::vector<M15State> states{{0, 0, 0, 0, {}, 0}};
   std::vector<M15State> next;
   for (size_t i = 0; i < H; ++i) {
     next.clear();
+    uint64_t ibit0 = i < 64 ? (1ULL << i) : 0;
+    uint64_t ibit1 = i >= 64 ? (1ULL << (i - 64)) : 0;
     for (const auto& st : states) {
       next.push_back(st);  // skip position i
+      if ((st.hmask0 & ibit0) || (st.hmask1 & ibit1))
+        continue;  // position consumed by an earlier span
       for (const auto& c : by_start[i]) {
-        uint64_t bit0 = c.r < 64 ? (1ULL << c.r) : 0;
-        uint64_t bit1 = c.r >= 64 ? (1ULL << (c.r - 64)) : 0;
-        if ((st.rmask0 & bit0) || (st.rmask1 & bit1)) continue;
+        uint64_t hb0, hb1, rb0, rb1;
+        m15_span_bits(c.h, c.hl, hb0, hb1);
+        m15_span_bits(c.r, c.rl, rb0, rb1);
+        if ((st.hmask0 & hb0) || (st.hmask1 & hb1) || (st.rmask0 & rb0) ||
+            (st.rmask1 & rb1))
+          continue;
         M15State ns = st;
-        ns.rmask0 |= bit0;
-        ns.rmask1 |= bit1;
+        ns.hmask0 |= hb0;
+        ns.hmask1 |= hb1;
+        ns.rmask0 |= rb0;
+        ns.rmask1 |= rb1;
         ns.ms.push_back(c);
         ns.dist += c.h > c.r ? c.h - c.r : c.r - c.h;
         next.push_back(std::move(ns));
@@ -492,8 +555,18 @@ static std::vector<M15Match> m15_align(const std::vector<std::string>& hyp,
     }
     std::stable_sort(next.begin(), next.end(),
                      [](const M15State& a, const M15State& b) {
-                       if (a.ms.size() != b.ms.size())
-                         return a.ms.size() > b.ms.size();
+                       // most covered words (both sides), fewest chunks,
+                       // smallest distance — meteor15._align rank
+                       int ca_cov = 0, cb_cov = 0;
+                       ca_cov = __builtin_popcountll(a.hmask0) +
+                                __builtin_popcountll(a.hmask1) +
+                                __builtin_popcountll(a.rmask0) +
+                                __builtin_popcountll(a.rmask1);
+                       cb_cov = __builtin_popcountll(b.hmask0) +
+                                __builtin_popcountll(b.hmask1) +
+                                __builtin_popcountll(b.rmask0) +
+                                __builtin_popcountll(b.rmask1);
+                       if (ca_cov != cb_cov) return ca_cov > cb_cov;
                        int ca = m15_chunks(a.ms), cb = m15_chunks(b.ms);
                        if (ca != cb) return ca < cb;
                        return a.dist < b.dist;
@@ -520,9 +593,13 @@ static double m15_score(const M15Stats& s) {
 // ('\n'-separated), space-separated member words — both passed from the
 // Python side so the two implementations always share one data source
 // (evaluation/data/ bundles or the OPENVIIC_METEOR_* overrides).
-double* ov_meteor15_score_syn(const char* gens, const char* refs,
+// paraphrases: '\n'-separated "phrase ||| paraphrase" lines (the
+// convert_meteor_paraphrase.py output format); both directions are
+// added here, matching meteor15._paraphrase_table.
+double* ov_meteor15_score_par(const char* gens, const char* refs,
                               const char* function_words,
-                              const char* synonyms) {
+                              const char* synonyms,
+                              const char* paraphrases) {
   std::vector<std::string> gen_recs = split(gens, '\x1e');
   std::vector<std::string> ref_recs = split(refs, '\x1e');
   size_t n = gen_recs.size();
@@ -536,8 +613,27 @@ double* ov_meteor15_score_syn(const char* gens, const char* refs,
       for (const auto& w : tokens_of(lines[li]))
         syn[w].push_back((int)li);
   }
+  M15ParTable par;
+  if (paraphrases && *paraphrases) {
+    for (const auto& line : split(paraphrases, '\n')) {
+      size_t sep = line.find("|||");
+      if (sep == std::string::npos) continue;
+      std::string a = line.substr(0, sep), b = line.substr(sep + 3);
+      // trim
+      auto trim = [](std::string& s) {
+        size_t x = s.find_first_not_of(" \t");
+        size_t y = s.find_last_not_of(" \t");
+        s = x == std::string::npos ? "" : s.substr(x, y - x + 1);
+      };
+      trim(a);
+      trim(b);
+      if (a.empty() || b.empty() || a == b) continue;
+      par[a].push_back(b);
+      par[b].push_back(a);
+    }
+  }
   const double DELTA = 0.75;
-  const double WMOD[3] = {1.0, 0.6, 0.8};
+  const double WMOD[4] = {1.0, 0.6, 0.8, 0.6};
   auto wt = [&](const std::string& w) {
     return func.count(w) ? 1.0 - DELTA : DELTA;
   };
@@ -550,15 +646,21 @@ double* ov_meteor15_score_syn(const char* gens, const char* refs,
     M15Stats best_stats{0, 0, 0, 0, 0, 0};
     for (const auto& r : split(ref_recs[i], '\x1f')) {
       std::vector<std::string> ref = tokens_of(r);
-      std::vector<M15Match> ms = m15_align(hyp, ref, syn);
+      std::vector<M15Match> ms = m15_align(hyp, ref, syn, par);
       M15Stats s{0, 0, 0, 0, 0, 0};
+      long mh = 0, mr = 0;
       for (const auto& m : ms) {
-        s.pn += WMOD[m.mod] * wt(hyp[m.h]);
-        s.rn += WMOD[m.mod] * wt(ref[m.r]);
+        double pw = 0, rw = 0;
+        for (int k = m.h; k < m.h + m.hl; ++k) pw += wt(hyp[k]);
+        for (int k = m.r; k < m.r + m.rl; ++k) rw += wt(ref[k]);
+        s.pn += WMOD[m.mod] * pw;
+        s.rn += WMOD[m.mod] * rw;
+        mh += m.hl;
+        mr += m.rl;
       }
       for (const auto& w : hyp) s.pd += wt(w);
       for (const auto& w : ref) s.rd += wt(w);
-      s.m = (double)ms.size();
+      s.m = 0.5 * (double)(mh + mr);  // matched words avg over sides
       s.ch = (double)m15_chunks(ms);
       double sc = m15_score(s);
       if (sc > best) { best = sc; best_stats = s; }
@@ -572,10 +674,16 @@ double* ov_meteor15_score_syn(const char* gens, const char* refs,
   return out;
 }
 
+double* ov_meteor15_score_syn(const char* gens, const char* refs,
+                              const char* function_words,
+                              const char* synonyms) {
+  return ov_meteor15_score_par(gens, refs, function_words, synonyms, "");
+}
+
 // Back-compat 3-arg entry point (pre-round-3 binding): no synonym stage.
 double* ov_meteor15_score(const char* gens, const char* refs,
                           const char* function_words) {
-  return ov_meteor15_score_syn(gens, refs, function_words, "");
+  return ov_meteor15_score_par(gens, refs, function_words, "", "");
 }
 
 // -------------------------------------------------- PTB tokenizer

@@ -25,9 +25,8 @@ def _metrics():
     disables."""
     # METEOR: the 1.5 en-norm parameterisation (meteor15.py) — matches the
     # reference's jar invocation.  The native C++ 1.5 scorer substitutes
-    # when built; it reads the same bundled/override function-word and
-    # synonym data as the Python scorer, so only a configured paraphrase
-    # table (a Python-scorer-only stage) forces the Python path.
+    # when built; it reads the same bundled/override function-word,
+    # synonym, and (round 4) paraphrase data as the Python scorer.
     meteor, cider = Meteor(), Cider()
     if os.environ.get("OPENVIIC_NATIVE", "1") != "0":
         try:
@@ -39,21 +38,20 @@ def _metrics():
 
             if native.available():
                 cider = native.NativeCider()
-                if _paraphrase_table() is None:
-                    # the native scorer must also support every stage the
-                    # configured data activates — a stale (pre-round-3)
-                    # library lacks ov_meteor15_score_syn, and the bundled
-                    # synonym table makes that stage active by default, so
-                    # such a library stays on the Python scorer instead of
-                    # crashing at score time
-                    lib = native._load()
-                    needed = (
-                        "ov_meteor15_score_syn"
-                        if _synonym_lines()
-                        else "ov_meteor15_score"
-                    )
-                    if lib is not None and hasattr(lib, needed):
-                        meteor = native.NativeMeteor15()
+                # the native scorer must support every stage the
+                # configured data activates — a stale library missing the
+                # paraphrase (pre-round-4) or synonym (pre-round-3) entry
+                # point stays on the Python scorer instead of crashing at
+                # score time
+                lib = native._load()
+                if _paraphrase_table() is not None:
+                    needed = "ov_meteor15_score_par"
+                elif _synonym_lines():
+                    needed = "ov_meteor15_score_syn"
+                else:
+                    needed = "ov_meteor15_score"
+                if lib is not None and hasattr(lib, needed):
+                    meteor = native.NativeMeteor15()
         except Exception:
             pass
     return (Bleu(), meteor, Rouge(), cider)

@@ -140,9 +140,17 @@ def _synonym_sets() -> Optional[Dict[str, set]]:
 
 
 @lru_cache(maxsize=1)
+def _paraphrase_lines() -> Optional[Tuple[str, ...]]:
+    """Raw ``phrase ||| paraphrase`` lines — shared with the native C++
+    scorer so both implementations read one data source."""
+    lines = _load_lines(os.environ.get("OPENVIIC_METEOR_PARAPHRASE"))
+    return tuple(lines) if lines else None
+
+
+@lru_cache(maxsize=1)
 def _paraphrase_table() -> Optional[Dict[str, set]]:
     """phrase -> set of paraphrase phrases (both directions)."""
-    lines = _load_lines(os.environ.get("OPENVIIC_METEOR_PARAPHRASE"))
+    lines = _paraphrase_lines()
     if not lines:
         return None
     table: Dict[str, set] = {}

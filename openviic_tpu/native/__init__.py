@@ -71,6 +71,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ov_meteor15_score_syn.restype = ctypes.POINTER(ctypes.c_double)
     except AttributeError:  # stale pre-round-3 library
         pass
+    try:
+        lib.ov_meteor15_score_par.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p,
+        ]
+        lib.ov_meteor15_score_par.restype = ctypes.POINTER(ctypes.c_double)
+    except AttributeError:  # stale pre-round-4 library
+        pass
     lib.ov_ptb_tokenize.argtypes = [ctypes.c_char_p]
     lib.ov_ptb_tokenize.restype = ctypes.c_void_p  # manual free
     _lib = lib
@@ -151,11 +159,10 @@ class NativeMeteor:
 
 class NativeMeteor15:
     """METEOR 1.5 en-norm parameterisation — mirrors evaluation.Meteor
-    (meteor15.py) for the exact+stem+synonym stages, reading the same
-    function-word and synonym data the Python scorer resolves (bundled
-    evaluation/data/ files or the OPENVIIC_METEOR_* overrides).  The
-    optional paraphrase stage exists only in the Python scorer; callers
-    use the Python path when a paraphrase table is configured."""
+    (meteor15.py) for all four stages (exact/stem/synonym/paraphrase,
+    round 4), reading the same function-word, synonym, and paraphrase
+    data the Python scorer resolves (bundled evaluation/data/ files or
+    the OPENVIIC_METEOR_* overrides)."""
 
     def compute_score(self, gts: Dict, res: Dict):
         lib = _load()
@@ -163,13 +170,25 @@ class NativeMeteor15:
             raise RuntimeError("native library unavailable")
         from openviic_tpu.evaluation.meteor15 import (
             _function_words,
+            _paraphrase_lines,
             _synonym_lines,
         )
 
         gens_b, refs_b, keys = _encode_pairs(gts, res)
         fwords = " ".join(sorted(_function_words())).encode()
         syn_lines = _synonym_lines()
-        if syn_lines:
+        par_lines = _paraphrase_lines()
+        if par_lines:
+            if not hasattr(lib, "ov_meteor15_score_par"):
+                raise RuntimeError(
+                    "stale native library lacks the paraphrase stage"
+                )
+            ptr = lib.ov_meteor15_score_par(
+                gens_b, refs_b, fwords,
+                "\n".join(syn_lines or ()).encode(),
+                "\n".join(par_lines).encode(),
+            )
+        elif syn_lines:
             if not hasattr(lib, "ov_meteor15_score_syn"):
                 raise RuntimeError(
                     "stale native library lacks the synonym stage"

@@ -159,10 +159,12 @@ def test_meteor15_paraphrase_table(tmp_path, monkeypatch):
     table = tmp_path / "paraphrase.txt"
     table.write_text("xebicycle ||| xebike\n")
     monkeypatch.setenv("OPENVIIC_METEOR_PARAPHRASE", str(table))
+    m15._paraphrase_lines.cache_clear()
     m15._paraphrase_table.cache_clear()
     try:
         _, after = Meteor().compute_score(gts, res)
     finally:
+        m15._paraphrase_lines.cache_clear()
         m15._paraphrase_table.cache_clear()
     assert after[0] > before[0]
 

@@ -51,6 +51,7 @@ def _clear_caches():
     m15._function_words.cache_clear()
     m15._synonym_lines.cache_clear()
     m15._synonym_sets.cache_clear()
+    m15._paraphrase_lines.cache_clear()
     m15._paraphrase_table.cache_clear()
 
 
@@ -159,6 +160,61 @@ def test_best_reference_selection(pinned_data):
     res = {0: ["man rides bicycle"]}
     corpus, seg = m15.Meteor15().compute_score(gts, res)
     assert seg[0] == pytest.approx(0.5183550629438616, abs=1e-12)
+
+
+def test_native_scorer_matches_goldens(pinned_data, monkeypatch):
+    """The C++ scorer (round 4: all four stages) must reproduce the
+    hand-derived goldens bit-for-bit with the same pinned data files."""
+    from openviic_tpu import native
+
+    if not native.available():
+        import pytest as _pytest
+
+        _pytest.skip("native library not built")
+
+    scorer = native.NativeMeteor15()
+
+    def native_one(hyp, ref):
+        corpus, seg = scorer.compute_score({0: [ref]}, {0: [hyp]})
+        return float(seg[0])
+
+    # identical + exact/stem goldens (empty synonym/paraphrase tables)
+    assert native_one(
+        "a man is riding a bicycle", "a man is riding a bicycle"
+    ) == pytest.approx(0.5807037287370524, abs=1e-12)
+    assert native_one(
+        "the dogs running", "the dog runs"
+    ) == pytest.approx(0.3406333270773947, abs=1e-12)
+
+    # synonym stage
+    syn = pinned_data / "syn_native.txt"
+    syn.write_text("bicycle bike\n")
+    monkeypatch.setenv("OPENVIIC_METEOR_SYNONYMS", str(syn))
+    _clear_caches()
+    assert native_one(
+        "man rides bike", "man rides bicycle"
+    ) == pytest.approx(0.4837980587476041, abs=1e-12)
+
+    # paraphrase stage (4-stage path)
+    par = pinned_data / "par_native.txt"
+    par.write_text("hits the road ||| goes jogging\n")
+    monkeypatch.setenv("OPENVIIC_METEOR_PARAPHRASE", str(par))
+    _clear_caches()
+    assert native_one(
+        "he goes jogging", "he hits the road"
+    ) == pytest.approx(0.3470012517054327, abs=1e-12)
+
+    # corpus aggregation through the native path
+    gts = {0: ["a man is riding a bicycle"], 1: ["man rides bicycle"]}
+    res = {0: ["a man is riding a bicycle"], 1: ["man rides bicycle"]}
+    monkeypatch.delenv("OPENVIIC_METEOR_PARAPHRASE")
+    monkeypatch.setenv(
+        "OPENVIIC_METEOR_SYNONYMS", str(pinned_data / "syn.txt")
+    )
+    _clear_caches()
+    corpus, _ = scorer.compute_score(gts, res)
+    assert corpus == pytest.approx(0.555871393015416, abs=1e-12)
+    _clear_caches()
 
 
 def test_paraphrase_converter_roundtrip(pinned_data, tmp_path, monkeypatch):
