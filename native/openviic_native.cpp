@@ -619,17 +619,27 @@ double* ov_meteor15_score_par(const char* gens, const char* refs,
       size_t sep = line.find("|||");
       if (sep == std::string::npos) continue;
       std::string a = line.substr(0, sep), b = line.substr(sep + 3);
-      // trim
+      // trim — include '\r' so CRLF table files match the Python
+      // scorer (meteor15._load_lines rstrips only '\n', so a stray
+      // '\r' would otherwise produce phrases that never match)
       auto trim = [](std::string& s) {
-        size_t x = s.find_first_not_of(" \t");
-        size_t y = s.find_last_not_of(" \t");
+        size_t x = s.find_first_not_of(" \t\r");
+        size_t y = s.find_last_not_of(" \t\r");
         s = x == std::string::npos ? "" : s.substr(x, y - x + 1);
       };
       trim(a);
       trim(b);
       if (a.empty() || b.empty() || a == b) continue;
-      par[a].push_back(b);
-      par[b].push_back(a);
+      // dedupe pairs (meteor15._paraphrase_table stores sets —
+      // duplicate lines must not shift alignment tie-breaks)
+      auto add_once = [&](const std::string& k, const std::string& v) {
+        auto& vec = par[k];
+        for (const auto& e : vec)
+          if (e == v) return;
+        vec.push_back(v);
+      };
+      add_once(a, b);
+      add_once(b, a);
     }
   }
   const double DELTA = 0.75;

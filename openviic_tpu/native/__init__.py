@@ -174,6 +174,22 @@ class NativeMeteor15:
             _synonym_lines,
         )
 
+        # the native aligner tracks spans in two 64-bit masks, capping
+        # segments at 128 tokens; the Python scorer's int masks are
+        # unbounded.  Captions are tens of tokens so this never fires in
+        # the hot path, but for exactness fall back to the Python scorer
+        # when any segment would be truncated.
+        def _too_long(text) -> bool:
+            return len(str(text).split()) > 128
+
+        if any(
+            _too_long(res[k][0]) or any(_too_long(r) for r in gts[k])
+            for k in gts
+        ):
+            from openviic_tpu.evaluation.meteor15 import Meteor15
+
+            return Meteor15().compute_score(gts, res)
+
         gens_b, refs_b, keys = _encode_pairs(gts, res)
         fwords = " ".join(sorted(_function_words())).encode()
         syn_lines = _synonym_lines()

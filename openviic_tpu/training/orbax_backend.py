@@ -157,6 +157,13 @@ class OrbaxBackend:
             adopt = os.path.isdir(staging) and self._ocp.utils.is_checkpoint_finalized(
                 staging
             )
+            # every host must evaluate `adopt` against the PRE-rename
+            # filesystem before the primary renames: a host checking
+            # after the rename would see no staging dir, compute
+            # adopt=False, skip the adopt barrier, and skew _sync_n —
+            # the next collective would pair mismatched barrier names
+            # and hang (round-4 advisor finding)
+            self._sync("adopt_check")
             if adopt:
                 if self._primary:
                     os.rename(staging, path)

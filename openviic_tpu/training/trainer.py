@@ -666,19 +666,18 @@ class BaseTrainer:
             self.config.TRAINING.get("SCST_SAMPLE_DROPOUT", False)
         )
         # AdaptiveDecoder SCST sampling without dropout is deterministic,
-        # so the precomputed language table applies (recomputed per epoch;
-        # gated on the frozen-backbone mask — with the LM stream frozen
-        # the table is constant through the epoch and sampling stays
-        # exactly on-policy; an unfrozen LM would drift from it)
-        scst_table = (
-            None if sample_dropout or self._frozen_mask is None
-            else self._language_table()
-        )
-        scst_extra = {} if scst_table is None else {
-            "language_table": scst_table
-        }
+        # so the language table applies — but only the LM *backbone* is
+        # frozen (frozen_param_mask); proj/encoder_layer/vocab-head leaves
+        # update on every scst_step, so the table must be recomputed per
+        # step to keep sampling on-policy (one jitted (vocab,) forward,
+        # cheap next to the beam sample itself).
+        use_scst_table = not sample_dropout and self._frozen_mask is not None
         pairs = device_prefetch(self.train_dict_dataloader, _scst_place)
         for items, batch in pairs:
+            scst_table = self._language_table() if use_scst_table else None
+            scst_extra = {} if scst_table is None else {
+                "language_table": scst_table
+            }
             sample_rng = (
                 jax.random.fold_in(self.state["rng"], 0x5C57)
                 if sample_dropout else None

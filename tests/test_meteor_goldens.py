@@ -254,3 +254,55 @@ def test_paraphrase_converter_roundtrip(pinned_data, tmp_path, monkeypatch):
     s = _score_one("he goes jogging", "he hits the road")
     assert s == pytest.approx(0.3470012517054327, abs=1e-12)
     _clear_caches()
+
+
+def test_native_paraphrase_crlf_and_duplicate_lines(pinned_data, monkeypatch):
+    """CRLF paraphrase files and duplicate lines must score identically
+    in the native C++ and Python scorers (round-4 advisor findings: the
+    C++ trim previously kept a trailing '\\r' so CRLF phrases never
+    matched, and duplicate lines were kept while Python dedupes via
+    sets, shifting alignment tie-breaks)."""
+    from openviic_tpu import native
+
+    if not native.available():
+        pytest.skip("native extension not built")
+    par = pinned_data / "par_crlf.txt"
+    # CRLF endings + the same pair repeated three times
+    par.write_bytes(
+        b"hits the road ||| goes jogging\r\n"
+        b"hits the road ||| goes jogging\r\n"
+        b"hits the road ||| goes jogging\r\n"
+        b"big dog ||| large hound\r\n"
+    )
+    monkeypatch.setenv("OPENVIIC_METEOR_PARAPHRASE", str(par))
+    _clear_caches()
+    gts = {
+        "0": ["he hits the road", "a big dog runs"],
+        "1": ["the big dog barks"],
+    }
+    res = {"0": ["he goes jogging"], "1": ["the large hound barks"]}
+    py_corpus, py_seg = m15.Meteor15().compute_score(gts, res)
+    nat_corpus, nat_seg = native.NativeMeteor15().compute_score(gts, res)
+    assert nat_corpus == pytest.approx(py_corpus, abs=1e-12)
+    assert nat_seg == pytest.approx(py_seg, abs=1e-12)
+    # the CRLF phrases actually matched (score reflects the paraphrase)
+    assert py_seg[0] == pytest.approx(0.3470012517054327, abs=1e-12)
+    _clear_caches()
+
+
+def test_native_long_segment_falls_back_to_python(pinned_data):
+    """Segments over 128 tokens exceed the native aligner's two 64-bit
+    span masks; NativeMeteor15 must route such batches to the Python
+    scorer so results never silently diverge (round-4 advisor)."""
+    from openviic_tpu import native
+
+    if not native.available():
+        pytest.skip("native extension not built")
+    long_ref = " ".join(f"w{i % 7}" for i in range(200))
+    long_hyp = " ".join(f"w{i % 5}" for i in range(150))
+    gts = {"0": [long_ref], "1": ["a man walks"]}
+    res = {"0": [long_hyp], "1": ["a man walks"]}
+    py_corpus, py_seg = m15.Meteor15().compute_score(gts, res)
+    nat_corpus, nat_seg = native.NativeMeteor15().compute_score(gts, res)
+    assert nat_corpus == pytest.approx(py_corpus, abs=1e-12)
+    assert nat_seg == pytest.approx(py_seg, abs=1e-12)

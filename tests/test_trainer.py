@@ -479,13 +479,31 @@ def test_adaptive_decoder_trainer_end_to_end(tmp_path_factory, tiny_dataset_dir)
     assert np.isfinite(scores["CIDEr"])
 
     # round 4: eval decode + deterministic SCST sampling both route the
-    # precomputed language-signal table (frozen LM -> exact, trainer
-    # _language_table); run one SCST epoch through that path
+    # precomputed language-signal table (trainer _language_table); run
+    # one SCST epoch through that path.  Round 5: only the LM *backbone*
+    # is frozen — proj/encoder_layer/vocab-head leaves update every
+    # scst_step — so the table must be recomputed per step to stay
+    # on-policy (round-4 advisor high finding); assert one table
+    # computation per SCST batch.
     assert tr._frozen_mask is not None  # LM backbone is frozen
     assert tr._language_table() is not None
     tr.use_rl = True
     tr._ensure_scst()
+    calls = {"n": 0}
+    orig_table = tr._language_table
+
+    def counting_table():
+        calls["n"] += 1
+        return orig_table()
+
+    tr._language_table = counting_table
     rl_loss = tr.train_scst()
+    tr._language_table = orig_table
+    n_batches = len(tr.train_dict_dataloader)
+    assert calls["n"] == n_batches, (
+        f"language table computed {calls['n']}x for {n_batches} SCST "
+        "batches — sampling must be on-policy (fresh table per step)"
+    )
     assert np.isfinite(rl_loss)
 
 
