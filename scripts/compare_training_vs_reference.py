@@ -39,6 +39,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 sys.path.insert(0, REPO)
@@ -166,7 +168,22 @@ def shared_config(root: str, ckpt: str, name: str, *, d_model: int = 64,
     )
 
 
-def run_reference(cfg, epochs: int):
+class _RewardTap:
+    """Wraps a CIDEr scorer; records the mean per-call reward so the SCST
+    side-by-side can report reward curves from BOTH stacks without
+    touching either training loop."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.rewards = []
+
+    def compute_score(self, gts, gens):
+        out = self._inner.compute_score(gts, gens)
+        self.rewards.append(float(np.mean(out[1])))
+        return out
+
+
+def run_reference(cfg, epochs: int, scst_epochs: int = 0):
     sys.path.insert(0, REFERENCE)
     import torch
 
@@ -212,29 +229,66 @@ def run_reference(cfg, epochs: int):
             flush=True,
         )
 
-    # dev-split beam decode + CIDEr (evaluate_metrics minus the jar METEOR)
-    trainer.model.eval()
-    gens, gts = {}, {}
-    for it, items in enumerate(trainer.val_dict_dataloader):
-        with torch.no_grad():
-            outs, _ = trainer.model.beam_search(
-                items, batch_size=items.batch_size,
-                beam_size=trainer.evaluating_beam_size, out_size=1,
+    def dev_cider():
+        # dev-split beam decode + CIDEr (evaluate_metrics minus the jar
+        # METEOR)
+        trainer.model.eval()
+        gens, gts = {}, {}
+        for it, items in enumerate(trainer.val_dict_dataloader):
+            with torch.no_grad():
+                outs, _ = trainer.model.beam_search(
+                    items, batch_size=items.batch_size,
+                    beam_size=trainer.evaluating_beam_size, out_size=1,
+                )
+            caps_gen = trainer.vocab.decode_caption(
+                outs.contiguous().view(-1, trainer.vocab.max_caption_length),
+                join_words=False,
             )
-        caps_gen = trainer.vocab.decode_caption(
-            outs.contiguous().view(-1, trainer.vocab.max_caption_length),
-            join_words=False,
+            for i, (gts_i, gen_i) in enumerate(zip(items.captions, caps_gen)):
+                gens[f"{it}_{i}"] = [
+                    " ".join(k for k, _ in itertools.groupby(gen_i))
+                ]
+                gts[f"{it}_{i}"] = gts_i
+        return float(RefCider().compute_score(gts, gens)[0]), gens
+
+    cider, gens = dev_cider()
+    result = {"val_loss": curves, "cider": cider, "wall_s": time.time() - t0,
+              "gens": gens}
+
+    if scst_epochs:
+        # the reference's XE->SCST switch (vi_trainer.py:199-208): fresh
+        # Adam at RL_LEARNING_RATE over all params; train_cider was
+        # precomputed from train captions at trainer init (vi_trainer.py:35)
+        from torch.optim import Adam
+
+        trainer.optim = Adam(
+            trainer.model.parameters(), lr=cfg.TRAINING.RL_LEARNING_RATE
         )
-        for i, (gts_i, gen_i) in enumerate(zip(items.captions, caps_gen)):
-            gens[f"{it}_{i}"] = [" ".join(k for k, _ in itertools.groupby(gen_i))]
-            gts[f"{it}_{i}"] = gts_i
-    cider = float(RefCider().compute_score(gts, gens)[0])
-    wall = time.time() - t0
+        tap = _RewardTap(trainer.train_cider)
+        trainer.train_cider = tap
+        reward_curve = []
+        for e in range(scst_epochs):
+            trainer.epoch = epochs + e
+            n0 = len(tap.rewards)
+            trainer.train_scst()
+            reward_curve.append(float(np.mean(tap.rewards[n0:])))
+            print(
+                f"[ref scst epoch {e}] reward={reward_curve[-1]:.4f} "
+                f"t={time.time() - t0:.0f}s",
+                flush=True,
+            )
+        scst_cider, _ = dev_cider()
+        result["scst"] = {
+            "reward_curve": reward_curve,
+            "cider": scst_cider,
+            "wall_s": time.time() - t0,
+        }
+
     sys.path.remove(REFERENCE)
-    return {"val_loss": curves, "cider": cider, "wall_s": wall, "gens": gens}
+    return result
 
 
-def run_repo(cfg, epochs: int):
+def run_repo(cfg, epochs: int, scst_epochs: int = 0):
     from openviic_tpu.builders import build_trainer
 
     t0 = time.time()
@@ -250,12 +304,40 @@ def run_repo(cfg, epochs: int):
             flush=True,
         )
     scores = trainer.evaluate_metrics(trainer.val_dict_dataloader)
-    wall = time.time() - t0
-    return {
+    result = {
         "val_loss": curves,
         "cider": float(scores["CIDEr"]),
-        "wall_s": wall,
+        "wall_s": time.time() - t0,
     }
+
+    if scst_epochs:
+        # mirror of the reference switch: _ensure_scst resets the
+        # optimizer to a fresh Adam at RL_LEARNING_RATE
+        # (training/trainer.py:561-589)
+        trainer.use_rl = True
+        trainer._ensure_scst()
+        tap = _RewardTap(trainer.train_cider)
+        trainer.train_cider = tap
+        reward_curve = []
+        for e in range(scst_epochs):
+            trainer.epoch = epochs + e
+            n0 = len(tap.rewards)
+            trainer.train_scst()
+            if len(tap.rewards) > n0:  # host-reward path
+                reward_curve.append(float(np.mean(tap.rewards[n0:])))
+            print(
+                f"[repo scst epoch {e}] "
+                f"reward={reward_curve[-1] if reward_curve else None} "
+                f"t={time.time() - t0:.0f}s",
+                flush=True,
+            )
+        scst_scores = trainer.evaluate_metrics(trainer.val_dict_dataloader)
+        result["scst"] = {
+            "reward_curve": reward_curve,
+            "cider": float(scst_scores["CIDEr"]),
+            "wall_s": time.time() - t0,
+        }
+    return result
 
 
 def main() -> None:
@@ -277,6 +359,10 @@ def main() -> None:
                         help="m2 memory slots (reference config: 40)")
     parser.add_argument("--only", choices=["repo", "ref", "both"],
                         default="both")
+    parser.add_argument("--scst", type=int, default=0,
+                        help="after the XE epochs, switch to SCST "
+                             "(reference vi_trainer.py:199-208 semantics) "
+                             "and run this many RL epochs on each stack")
     parser.add_argument("--rbg", action="store_true",
                         help="repo half: TPU hardware PRNG for dropout")
     parser.add_argument("--bf16", action="store_true",
@@ -300,7 +386,15 @@ def main() -> None:
         warmup=args.warmup, beam=args.beam,
         arch=args.arch, memory=args.memory,
     )
-    tag = f"{args.arch}_d{args.d_model}"
+    # key the checkpoint dirs by dataset root AND wipe them: the trainer
+    # (faithfully to reference base_trainer.py:26-33) caches vocab.bin in
+    # the checkpoint dir and reloads it if present — a stale dir from a
+    # run on a different dataset silently poisons the vocab
+    import shutil
+
+    tag = f"{args.arch}_d{args.d_model}_{os.path.basename(os.path.normpath(args.root))}"
+    for half in ("repo", "ref"):
+        shutil.rmtree(f"/tmp/{half}_compare_ckpt_{tag}", ignore_errors=True)
     result = {"epochs": args.epochs, "shape": shape}
 
     if args.only in ("repo", "both"):
@@ -311,14 +405,17 @@ def main() -> None:
         if args.repo_seed is not None:
             cfg_repo.TRAINING._data["SEED"] = args.repo_seed
         print("== running repo trainer ==", flush=True)
-        repo = run_repo(cfg_repo, args.epochs)
+        repo = run_repo(cfg_repo, args.epochs, scst_epochs=args.scst)
         result["repo"] = {k: v for k, v in repo.items() if k != "gens"}
+        if args.out:  # incremental: XE+SCST repo results survive a later
+            with open(args.out, "w") as f:  # reference-half crash
+                json.dump(result, f, indent=2)
     if args.only in ("ref", "both"):
         cfg_ref = shared_config(
             args.root, f"/tmp/ref_compare_ckpt_{tag}", "ref_compare", **shape,
         )
         print("== running reference trainer (torch CPU) ==", flush=True)
-        ref = run_reference(cfg_ref, args.epochs)
+        ref = run_reference(cfg_ref, args.epochs, scst_epochs=args.scst)
         result["reference"] = {k: v for k, v in ref.items() if k != "gens"}
 
     out = json.dumps(result, indent=2)

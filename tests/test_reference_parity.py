@@ -479,3 +479,129 @@ def test_native_cider_matches_reference(ref_eval):
     ref_score, _ = ref_eval.Cider().compute_score(gts, gen)
     got_score, _ = native.NativeCider().compute_score(gts, gen)
     np.testing.assert_almost_equal(got_score, ref_score, decimal=10)
+
+
+def test_scst_step_parity(ref):
+    """SCST estimator parity vs the ACTUAL reference loss path
+    (trainers/vi_trainer.py:121-158): identical weights, the reference's
+    own beam_search(out_size=beam) produces the sampled beams and their
+    in-search gathered log-probs; a stubbed reward feeds both loss
+    formulas; loss AND parameter gradients must match.
+
+    The repo side recomputes the sampled tokens' log-probs teacher-forced
+    (training/steps.py::scst_log_probs) rather than gathering them during
+    the search — mathematically the same function of params, so the
+    REINFORCE-with-baseline gradient must agree.  This pins the subtle
+    parts: the eos-step-keeps-its-logprob zeroing, mean over the FULL
+    max_len (incl. zeroed tail), and the mean-of-beam baseline."""
+    import optax  # noqa: F401  (parity of imports with the XE test)
+
+    from openviic_tpu.training.steps import scst_log_probs
+
+    vocab = FakeVocab()
+    cfg = model_config()
+
+    def no_dropout(node):
+        if hasattr(node, "DROPOUT"):
+            node.DROPOUT = 0.0
+        for key in node.keys():
+            child = getattr(node, key, None)
+            if hasattr(child, "keys"):
+                no_dropout(child)
+
+    no_dropout(cfg)
+    torch.manual_seed(0)
+    ref_model = ref.META_ARCHITECTURE.get("StandardTransformerUsingRegion")(
+        cfg, vocab
+    )
+    ref_model.eval()  # deterministic sampling on both sides (the
+    # reference samples under model.train(); dropout is zeroed here so
+    # eval() only pins the batchnorm-free modules — SCST_SAMPLE_DROPOUT
+    # covers the dropout-active mode in tests/test_scst_dropout.py)
+    model = build_model(cfg, vocab)
+    bs, beam = 3, 5
+    batch = make_batch(vocab, bs=bs, seed=11)
+    params = _transplant(ref_model, model, batch)
+
+    # -- reference half: beam sample WITH grad, its loss formula --------
+    tb = _torch_batch(ref, batch, ["region_features"])
+    outs, log_probs = ref_model.beam_search(
+        tb, batch_size=bs, beam_size=beam, out_size=beam
+    )
+    assert outs.shape == (bs, beam, vocab.max_caption_length)
+    assert log_probs.requires_grad  # the in-search gather carries the graph
+
+    rng = np.random.default_rng(3)
+    reward_np = rng.uniform(0.0, 2.0, size=(bs, beam)).astype(np.float32)
+    reward_t = torch.from_numpy(reward_np)
+    baseline_t = torch.mean(reward_t, dim=-1, keepdim=True)
+    ref_loss = (-torch.mean(log_probs, -1) * (reward_t - baseline_t)).mean()
+    ref_model.zero_grad()
+    ref_loss.backward()
+    grad_sd = {
+        k: p.grad if p.grad is not None else torch.zeros_like(p)
+        for k, p in ref_model.named_parameters()
+    }
+
+    # -- repo half: SAME sampled tokens + reward, teacher-forced path ----
+    sampled = jnp.asarray(np.asarray(outs.detach()), jnp.int32).reshape(
+        bs * beam, -1
+    )
+    expanded = {
+        "region_features": jnp.repeat(batch["region_features"], beam, axis=0)
+    }
+    reward = jnp.asarray(reward_np)
+
+    def loss_fn(p):
+        lp = scst_log_probs(model, p, expanded, sampled)
+        lp = lp.reshape(bs, beam, -1)
+        baseline = jnp.mean(reward, axis=-1, keepdims=True)
+        return (-jnp.mean(lp, axis=-1) * (reward - baseline)).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+
+    np.testing.assert_allclose(
+        float(loss), float(ref_loss), rtol=2e-4, atol=2e-6
+    )
+
+    # the reference's zeroed-after-eos tail must equal the repo's alive
+    # mask semantics: compare the per-step log-probs themselves
+    lp_repo = np.asarray(
+        scst_log_probs(model, params, expanded, sampled)
+    ).reshape(bs, beam, -1)
+    np.testing.assert_allclose(
+        lp_repo, log_probs.detach().numpy(), rtol=1e-4, atol=5e-5
+    )
+
+    # gradient parity: convert the torch grads through the SAME name/
+    # layout mapping as the weights (gradients transform identically
+    # under transpose/reshape), then compare leaf-by-leaf.  Comparison is
+    # normalized by the GLOBAL gradient scale: fc_k.bias leaves have a
+    # mathematically-zero gradient (a shared key bias shifts every
+    # attention score by the same per-query constant, which softmax
+    # ignores), so their values are pure cancellation noise that differs
+    # between the in-search and teacher-forced graphs — a per-leaf
+    # normalization would amplify that noise into a false failure.
+    ref_grads, missing, _ = convert_torch_state_dict(grad_sd, params)
+    assert missing == []
+    flat_got = jax.tree_util.tree_leaves_with_path(grads)
+    flat_ref_map = {
+        jax.tree_util.keystr(path): leaf
+        for path, leaf in jax.tree_util.tree_leaves_with_path(ref_grads)
+    }
+    global_scale = max(
+        max(np.abs(np.asarray(leaf, np.float32)).max() for leaf in
+            jax.tree_util.tree_leaves(grads)),
+        1e-8,
+    )
+    checked = 0
+    for path, g in flat_got:
+        key = jax.tree_util.keystr(path)
+        r = np.asarray(flat_ref_map[key], np.float32)
+        g = np.asarray(g, np.float32)
+        np.testing.assert_allclose(
+            g / global_scale, r / global_scale, atol=5e-4,
+            err_msg=f"gradient mismatch at {key}",
+        )
+        checked += 1
+    assert checked > 20  # every layer's params actually compared
