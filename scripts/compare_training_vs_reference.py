@@ -83,12 +83,36 @@ def shared_config(root: str, ckpt: str, name: str, *, d_model: int = 64,
                 "ScaledDotProductAttention", "Decoder"),
         "camo": ("CamoTransformer", "CrossAttentionMultiLevelEncoder",
                  "ScaledDotProductAttention", "Decoder"),
+        # round-5 (VERDICT r4 next #4): the one architecture family with
+        # only a solo demo — reference DualCollaborativeLevelEncoder +
+        # GeometricDualFeatureEmbedding (encoders.py:114-211,
+        # vision_embeddings.py:45-70), wired manually on the torch side
+        # since no reference config/architecture composes them (the ORT
+        # shim precedent).  Dataset must carry grid features
+        # (make_realistic_dataset.py --grids).
+        "dlct": ("DLCTTransformer", "DualCollaborativeLevelEncoder",
+                 "AugmentedGeometryScaledDotProductAttention", "Decoder"),
     }
     model_arch, enc_arch, enc_attn_arch, dec_arch = arch_map[arch]
     if arch == "aoa":
         attn = dict(attn, USE_AOA=True)
         attn_stateful = dict(attn_stateful, USE_AOA=True)
     enc_attn = dict(attn, ARCHITECTURE=enc_attn_arch)
+    vision_embedding = {
+        "ARCHITECTURE": "FeatureEmbedding",
+        "D_FEATURE": 1024, "D_MODEL": d_model, "DROPOUT": 0.1,
+    }
+    encoder_extra = {}
+    if arch == "dlct":
+        vision_embedding = {
+            "ARCHITECTURE": "GeometricDualFeatureEmbedding",
+            "D_REGION_FEATURE": 1024, "D_GRID_FEATURE": 1024,
+            "D_MODEL": d_model, "DROPOUT": 0.1,
+        }
+        encoder_extra = {
+            "HEAD": heads,
+            "CROSS_ATTENTION": dict(enc_attn),
+        }
     return ConfigNode(
         {
             "TRAINER": "viTrainer",
@@ -135,10 +159,7 @@ def shared_config(root: str, ckpt: str, name: str, *, d_model: int = 64,
                 "ARCHITECTURE": model_arch,
                 "NAME": name,
                 "DEVICE": "cpu",
-                "VISION_EMBEDDING": {
-                    "ARCHITECTURE": "FeatureEmbedding",
-                    "D_FEATURE": 1024, "D_MODEL": d_model, "DROPOUT": 0.1,
-                },
+                "VISION_EMBEDDING": vision_embedding,
                 "ENCODER": {
                     "ARCHITECTURE": enc_arch, "D_MODEL": d_model,
                     "LAYERS": layers,
@@ -147,6 +168,7 @@ def shared_config(root: str, ckpt: str, name: str, *, d_model: int = 64,
                     # object_relation_transformer.yaml
                     "TRIGNOMETRIC_EMBEDDING": False,
                     "SELF_ATTENTION": enc_attn,
+                    **encoder_extra,
                 },
                 "DECODER": {
                     "ARCHITECTURE": dec_arch, "D_MODEL": d_model,
@@ -183,6 +205,201 @@ class _RewardTap:
         return out
 
 
+def _register_ref_dlct():
+    """Register a DLCTTransformer into the REFERENCE's architecture
+    registry, composed purely of reference modules: the
+    DualCollaborativeLevelEncoder (encoders.py:114-211) +
+    GeometricDualFeatureEmbedding (vision_embeddings.py:45-70) +
+    Decoder, with the same wiring the repo's fixed dlct config uses —
+    no shipped reference config exercises these modules (SURVEY.md
+    §2.4), so this shim is the only way to get a reference DLCT
+    side-by-side (the ORT call-convention shim precedent)."""
+    import torch
+
+    from builders.decoder_builder import build_decoder
+    from builders.encoder_builder import build_encoder
+    from builders.model_builder import META_ARCHITECTURE
+    from builders.vision_embedding_builder import build_vision_embedding
+    from models.base_transformer import BaseTransformer
+
+    if "DLCTTransformer" in getattr(META_ARCHITECTURE, "_obj_map", {}):
+        return
+
+    # reference bug shim (dead-code path, same family as the ORT one):
+    # get_combine_masks doc says (bs, 1, n, g*g) but the code returns
+    # (bs, 1, 1, n, g*g) (models/utils.py:154 double-unsqueeze), which
+    # crashes GeometricDualFeatureEmbedding's permute
+    # (vision_embeddings.py:61) — squeeze back to the documented shape
+    import models.modules.vision_embeddings as ref_ve
+
+    _orig_combine = ref_ve.get_combine_masks
+
+    def _fixed_combine(boxes, grid_size=7):
+        m = _orig_combine(boxes, grid_size)
+        while m.dim() > 4:
+            m = m.squeeze(1)
+        return m
+
+    ref_ve.get_combine_masks = _fixed_combine
+
+    # second latent bug in the same dead path: vision_embeddings.py:62-63
+    # concatenates the (bs,1,1,n) key-padding masks directly onto the
+    # (bs,1,n,g*g) visibility masks, which cannot broadcast under cat —
+    # the key-padding mask must be expanded over the query dim first
+    # (the repo's GeometricDualFeatureEmbedding documents the same fix,
+    # models/vision_embedding.py)
+    from models.utils import generate_padding_mask
+
+    def _fixed_dual_forward(self, region_features, region_boxes,
+                            grid_features, grid_boxes):
+        region_masks = generate_padding_mask(region_features, padding_idx=0)
+        grid_masks = generate_padding_mask(grid_features, padding_idx=0)
+        grid_size = int(grid_boxes.shape[1] ** 0.5)
+        n_regions = region_features.shape[1]
+        n_grids = grid_features.shape[1]
+        region2grid_masks = _fixed_combine(region_boxes, grid_size)
+        grid2region_masks = region2grid_masks.permute(0, 1, 3, 2)
+        region2all_masks = torch.cat(
+            [
+                region_masks.expand(-1, -1, n_regions, -1),
+                region2grid_masks,
+            ],
+            dim=-1,
+        )
+        grid2all_masks = torch.cat(
+            [
+                grid2region_masks,
+                grid_masks.expand(-1, -1, n_grids, -1),
+            ],
+            dim=-1,
+        )
+        region_features = self.region_proj(region_features)
+        region_features = self.grid_dropout(region_features)
+        grid_features = self.grid_proj(grid_features)
+        grid_features = self.grid_dropout(grid_features)
+        return (
+            (region_features, region_masks),
+            (grid_features, grid_masks),
+            (region2all_masks, grid2all_masks),
+        )
+
+    ref_ve.GeometricDualFeatureEmbedding.forward = _fixed_dual_forward
+
+    # third latent bug: the DLCT encoder passes the 4-D visibility mask as
+    # ``padding_mask`` into EncoderLayer, whose post-FFN masked_fill
+    # expects a (bs,1,1,n) key-padding mask (encoders.py:197-206 vs :20) —
+    # unbroadcastable.  Correct semantics (and the repo's, models/
+    # encoders.py DualCollaborativeLevelEncoder): visibility mask as
+    # attention_mask, plain per-query padding mask for the query-row
+    # zeroing.  Only the two cross-layer calls change.
+    import torch.nn.functional as F
+
+    from models.modules import encoders as ref_enc
+    from models.utils import box_relational_embedding
+
+    def _fixed_dlct_forward(self, region_features, region_boxes,
+                            region_padding_mask, region2all_mask,
+                            grid_features, grid_boxes, grid_padding_mask,
+                            grid2all_mask):
+        n_regions = region_features.shape[1]
+        boxes = torch.cat([region_boxes, grid_boxes], dim=1)
+        rel = box_relational_embedding(
+            boxes, dim_g=self.d_g,
+            trignometric_embedding=self.trignometric_embedding,
+        )
+        flat = rel.view(-1, self.d_g)
+        bs, nk, _, _ = rel.shape
+        per_head = [
+            fc_g(flat).view([bs, 1, nk, nk]) for fc_g in self.fc_gs
+        ]
+        w_g = F.relu(torch.cat(per_head, dim=1))
+
+        region_features = self.layer_norm_region(region_features) + \
+            self.pos_embedding(region_features)
+        grid_features = self.layer_norm_grid(grid_features) + \
+            self.pos_embedding(grid_features)
+        for l_region, l_grid, l_r2g, l_g2r in zip(
+            self.layers_region, self.layers_grid,
+            self.region2grid, self.grid2region,
+        ):
+            region_features = l_region(
+                queries=region_features, values=region_features,
+                keys=region_features,
+                relative_geometry_weights=w_g[:, :, :n_regions, :n_regions],
+                padding_mask=region_padding_mask,
+                attention_mask=region_padding_mask,
+            )
+            grid_features = l_grid(
+                queries=grid_features, values=grid_features,
+                keys=grid_features,
+                relative_geometry_weights=w_g[:, :, n_regions:, n_regions:],
+                padding_mask=grid_padding_mask,
+                attention_mask=grid_padding_mask,
+            )
+            combined = torch.cat([region_features, grid_features], dim=1)
+            combined = combined + self.pos_embedding(combined)
+            region_features = l_r2g(
+                queries=region_features, keys=combined, values=combined,
+                relative_geometry_weights=w_g[:, :, :n_regions, :],
+                padding_mask=region_padding_mask,
+                attention_mask=region2all_mask,
+            )
+            grid_features = l_g2r(
+                queries=grid_features, keys=combined, values=combined,
+                relative_geometry_weights=w_g[:, :, n_regions:, :],
+                padding_mask=grid_padding_mask,
+                attention_mask=grid2all_mask,
+            )
+        out = torch.cat([region_features, grid_features], dim=1)
+        padding_mask = torch.cat(
+            [region_padding_mask, grid_padding_mask], dim=-1
+        )
+        return out, padding_mask
+
+    ref_enc.DualCollaborativeLevelEncoder.forward = _fixed_dlct_forward
+
+    @META_ARCHITECTURE.register()
+    class DLCTTransformer(BaseTransformer):
+        def __init__(self, config, vocab):
+            super().__init__(vocab)
+            self.device = torch.device(config.DEVICE)
+            self.vision_embedding = build_vision_embedding(
+                config.VISION_EMBEDDING
+            )
+            self.encoder = build_encoder(config.ENCODER)
+            self.decoder = build_decoder(config.DECODER, vocab)
+
+        def encoder_forward(self, input_features):
+            (
+                (region_features, region_masks),
+                (grid_features, grid_masks),
+                (region2all_masks, grid2all_masks),
+            ) = self.vision_embedding(
+                input_features.region_features,
+                input_features.region_boxes,
+                input_features.grid_features,
+                input_features.grid_boxes,
+            )
+            return self.encoder(
+                region_features=region_features,
+                region_boxes=input_features.region_boxes,
+                region_padding_mask=region_masks,
+                region2all_mask=region2all_masks,
+                grid_features=grid_features,
+                grid_boxes=input_features.grid_boxes,
+                grid_padding_mask=grid_masks,
+                grid2all_mask=grid2all_masks,
+            )  # -> (features, padding_mask)
+
+        def forward(self, input_features):
+            features, mask = self.encoder_forward(input_features)
+            return self.decoder(
+                caption_tokens=input_features.caption_tokens,
+                encoder_features=features,
+                encoder_attention_mask=mask,
+            )
+
+
 def run_reference(cfg, epochs: int, scst_epochs: int = 0):
     sys.path.insert(0, REFERENCE)
     import torch
@@ -191,6 +408,8 @@ def run_reference(cfg, epochs: int, scst_epochs: int = 0):
     from builders.trainer_builder import build_trainer as ref_build_trainer
     from evaluation import Cider as RefCider
 
+    if cfg.MODEL.ARCHITECTURE == "DLCTTransformer":
+        _register_ref_dlct()
     t0 = time.time()
     trainer = ref_build_trainer(cfg)
     if cfg.MODEL.ARCHITECTURE == "ObjectRelationTransformer":
@@ -353,7 +572,7 @@ def main() -> None:
     parser.add_argument("--warmup", type=int, default=100)
     parser.add_argument("--beam", type=int, default=3)
     parser.add_argument("--arch",
-                        choices=["standard", "m2", "ort", "aoa", "camo"],
+                        choices=["standard", "m2", "ort", "aoa", "camo", "dlct"],
                         default="standard")
     parser.add_argument("--memory", type=int, default=8,
                         help="m2 memory slots (reference config: 40)")

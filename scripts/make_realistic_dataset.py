@@ -134,7 +134,8 @@ def _realize(template: str, scene: dict, slots: dict,
 def main(root: str = "realistic_dataset", n_images: int = 2300,
          seed: int = 0, inventory: int = 250, noise: float = 0.55,
          refs_lo: int = 4, refs_hi: int = 6, d_feature: int = 1024,
-         zipf_a: float = 1.15, quiet: bool = False) -> dict:
+         zipf_a: float = 1.15, quiet: bool = False,
+         grids: bool = False, d_grid: int = 1024) -> dict:
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "features"), exist_ok=True)
     slots = _build_inventories(np.random.default_rng(seed + 1), inventory)
@@ -200,6 +201,34 @@ def main(root: str = "realistic_dataset", n_images: int = 2300,
         ).astype(np.float32)
         for slot in _SLOT_NAMES
     }
+    # optional grid stream (--grids, for DLCT/dual-stream runs): its OWN
+    # slot-embedding tables and an INDEPENDENT distractor realization, so
+    # the two streams carry complementary evidence about the same scene —
+    # an architecture that fuses both genuinely beats a one-stream readout
+    if grids:
+        gemb_rng = np.random.default_rng(seed + 7)
+        grid_embs = {
+            slot: (gemb_rng.normal(size=(inventory, d_grid))
+                   / np.sqrt(d_grid)).astype(np.float32)
+            for slot in _SLOT_NAMES
+        }
+        gnoise_rng = np.random.default_rng(seed + 8)
+        grid_noise_w = {
+            slot: gnoise_rng.normal(
+                scale=max(noise, 1e-12), size=(n_images, inventory)
+            ).astype(np.float32)
+            for slot in _SLOT_NAMES
+        }
+        grid_boxes = np.stack(
+            [
+                np.tile(np.arange(7), 7) / 7,
+                np.repeat(np.arange(7), 7) / 7,
+                (np.tile(np.arange(7), 7) + 1) / 7,
+                (np.repeat(np.arange(7), 7) + 1) / 7,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
     feat_rng = np.random.default_rng(seed + 6)
     for i in ids:
         n_regions = int(feat_rng.integers(12, 36))
@@ -218,9 +247,21 @@ def main(root: str = "realistic_dataset", n_images: int = 2300,
             sig = 2.0 * embs[slot][scenes[i][slot]] \
                 + noise_w[slot][i] @ embs[slot]
             region[mask] += sig
+        payload = {"region_features": region, "region_boxes": boxes}
+        if grids:
+            grid = feat_rng.normal(size=(49, d_grid)).astype(np.float32)
+            for slot in _SLOT_NAMES:
+                gmask = feat_rng.uniform(size=49) < 0.5
+                if not gmask.any():
+                    gmask[int(feat_rng.integers(49))] = True
+                gsig = 2.0 * grid_embs[slot][scenes[i][slot]] \
+                    + grid_noise_w[slot][i] @ grid_embs[slot]
+                grid[gmask] += gsig
+            payload["grid_features"] = grid
+            payload["grid_boxes"] = grid_boxes
         np.save(
             os.path.join(root, "features", f"{i}.npy"),
-            {"region_features": region, "region_boxes": boxes},
+            payload,
             allow_pickle=True,
         )
 
@@ -315,6 +356,9 @@ if __name__ == "__main__":
     ap.add_argument("--noise", type=float, default=0.55)
     ap.add_argument("--zipf-a", type=float, default=1.15)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--grids", action="store_true",
+                    help="also emit a 49-cell grid stream (DLCT runs)")
+    ap.add_argument("--d-grid", type=int, default=1024)
     a = ap.parse_args()
     main(a.root, a.n_images, a.seed, inventory=a.inventory, noise=a.noise,
-         zipf_a=a.zipf_a, quiet=a.quiet)
+         zipf_a=a.zipf_a, quiet=a.quiet, grids=a.grids, d_grid=a.d_grid)
