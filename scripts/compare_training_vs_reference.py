@@ -50,7 +50,8 @@ def shared_config(root: str, ckpt: str, name: str, *, d_model: int = 64,
                   heads: int = 4, layers: int = 2, d_ff: int = 128,
                   batch: int = 8, dict_batch: int = 6, warmup: int = 100,
                   beam: int = 3, rbg: bool = False, bf16: bool = False,
-                  arch: str = "standard", memory: int = 8):
+                  arch: str = "standard", memory: int = 8,
+                  trainer: str = "viTrainer"):
     from openviic_tpu.config import ConfigNode
 
     d_head = d_model // heads
@@ -115,7 +116,7 @@ def shared_config(root: str, ckpt: str, name: str, *, d_model: int = 64,
         }
     return ConfigNode(
         {
-            "TRAINER": "viTrainer",
+            "TRAINER": trainer,
             "DATASET": {
                 "FEATURE_BATCH_SIZE": batch,
                 "DICT_BATCH_SIZE": dict_batch,
@@ -400,7 +401,8 @@ def _register_ref_dlct():
             )
 
 
-def run_reference(cfg, epochs: int, scst_epochs: int = 0):
+def run_reference(cfg, epochs: int, scst_epochs: int = 0,
+                  en_ptb: bool = False):
     sys.path.insert(0, REFERENCE)
     import torch
 
@@ -468,6 +470,20 @@ def run_reference(cfg, epochs: int, scst_epochs: int = 0):
                     " ".join(k for k, _ in itertools.groupby(gen_i))
                 ]
                 gts[f"{it}_{i}"] = gts_i
+        if en_ptb:
+            # enTrainer-equivalence mode (VERDICT r4 next #9): the real
+            # reference enTrainer routes gts/gens through the Java
+            # PTBTokenizer jar (en_trainer.py:96-97) — no JVM exists
+            # here, and the reference code has a gts/gen variable bug at
+            # that exact call site.  Both halves therefore use THIS
+            # repo's PTB tokenizer (native C++/Python port, exactness
+            # tested in tests/test_native.py), so the comparison
+            # isolates the training loop rather than the tokenizer.
+            from openviic_tpu.evaluation import PTBTokenizer
+
+            ptb = PTBTokenizer()
+            gts = ptb.tokenize({k: list(v) for k, v in gts.items()})
+            gens = ptb.tokenize({k: list(v) for k, v in gens.items()})
         return float(RefCider().compute_score(gts, gens)[0]), gens
 
     cider, gens = dev_cider()
@@ -578,6 +594,12 @@ def main() -> None:
                         help="m2 memory slots (reference config: 40)")
     parser.add_argument("--only", choices=["repo", "ref", "both"],
                         default="both")
+    parser.add_argument("--trainer", choices=["viTrainer", "enTrainer"],
+                        default="viTrainer",
+                        help="enTrainer = English task: repo half runs the "
+                             "registered enTrainer (PTB postprocess), ref "
+                             "half runs viTrainer + the same PTB applied "
+                             "to its dev pairs (jar unavailable offline)")
     parser.add_argument("--scst", type=int, default=0,
                         help="after the XE epochs, switch to SCST "
                              "(reference vi_trainer.py:199-208 semantics) "
@@ -611,7 +633,9 @@ def main() -> None:
     # run on a different dataset silently poisons the vocab
     import shutil
 
-    tag = f"{args.arch}_d{args.d_model}_{os.path.basename(os.path.normpath(args.root))}"
+    tag = (f"{args.arch}_d{args.d_model}_"
+           f"{os.path.basename(os.path.normpath(args.root))}"
+           + ("_en" if args.trainer == "enTrainer" else ""))
     for half in ("repo", "ref"):
         shutil.rmtree(f"/tmp/{half}_compare_ckpt_{tag}", ignore_errors=True)
     result = {"epochs": args.epochs, "shape": shape}
@@ -619,7 +643,7 @@ def main() -> None:
     if args.only in ("repo", "both"):
         cfg_repo = shared_config(
             args.root, f"/tmp/repo_compare_ckpt_{tag}", "repo_compare",
-            rbg=args.rbg, bf16=args.bf16, **shape,
+            rbg=args.rbg, bf16=args.bf16, trainer=args.trainer, **shape,
         )
         if args.repo_seed is not None:
             cfg_repo.TRAINING._data["SEED"] = args.repo_seed
@@ -634,7 +658,8 @@ def main() -> None:
             args.root, f"/tmp/ref_compare_ckpt_{tag}", "ref_compare", **shape,
         )
         print("== running reference trainer (torch CPU) ==", flush=True)
-        ref = run_reference(cfg_ref, args.epochs, scst_epochs=args.scst)
+        ref = run_reference(cfg_ref, args.epochs, scst_epochs=args.scst,
+                            en_ptb=args.trainer == "enTrainer")
         result["reference"] = {k: v for k, v in ref.items() if k != "gens"}
 
     out = json.dumps(result, indent=2)

@@ -99,6 +99,26 @@ def _build_inventories(rng: np.random.Generator, inventory: int):
     return slots
 
 
+# English glue variants of the same frames (--lang en): the enTrainer
+# row (VERDICT r4 next #9) needs an English-task dataset so the PTB
+# tokenization path is exercised end-to-end.  Content tokens are the
+# same synthetic surfaces; only the closed-class glue changes.
+_TEMPLATES_EN = [
+    ("a {subject} {subj_mod} is {action} a {object} {obj_mod} "
+     "at the {place} {place_mod} during {time} in a {manner} way ."),
+    ("during {time} at the {place} {place_mod} there is a {subject} "
+     "{subj_mod} {action} a {object} {obj_mod} , very {manner} ."),
+    ("the photo shows a {subject} {subj_mod} {action} "
+     "a {object} {obj_mod} at the {place} {place_mod} in {time} , "
+     "looking quite {manner} ."),
+    ("you can see a {subject} {subj_mod} {action} a {object} "
+     "{obj_mod} rather {manner} near the {place} {place_mod} in {time} ."),
+    ("at the {place} {place_mod} during {time} a {subject} {subj_mod} "
+     "is {action} a {object} {obj_mod} , extremely {manner} ."),
+    ("a {object} {obj_mod} is being {action} by a {subject} {subj_mod} "
+     "at the {place} {place_mod} during {time} , truly {manner} ."),
+]
+
 # sentence frames: {x} slots get item surfaces; glue is real Vietnamese.
 # Each frame yields 15-25 tokens with 1-2-token surfaces.
 _TEMPLATES = [
@@ -135,7 +155,9 @@ def main(root: str = "realistic_dataset", n_images: int = 2300,
          seed: int = 0, inventory: int = 250, noise: float = 0.55,
          refs_lo: int = 4, refs_hi: int = 6, d_feature: int = 1024,
          zipf_a: float = 1.15, quiet: bool = False,
-         grids: bool = False, d_grid: int = 1024) -> dict:
+         grids: bool = False, d_grid: int = 1024,
+         lang: str = "vi") -> dict:
+    templates = _TEMPLATES_EN if lang == "en" else _TEMPLATES
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "features"), exist_ok=True)
     slots = _build_inventories(np.random.default_rng(seed + 1), inventory)
@@ -167,10 +189,10 @@ def main(root: str = "realistic_dataset", n_images: int = 2300,
     captions = {}  # image_id -> list[str]
     for i in ids:
         n_refs = int(text_rng.integers(refs_lo, refs_hi + 1))
-        t_order = text_rng.permutation(len(_TEMPLATES))
+        t_order = text_rng.permutation(len(templates))
         caps = []
         for r in range(n_refs):
-            tpl = _TEMPLATES[t_order[r % len(_TEMPLATES)]]
+            tpl = templates[t_order[r % len(templates)]]
             caps.append(_realize(tpl, scenes[i], slots, text_rng))
         captions[i] = caps
     for name, split_ids in splits.items():
@@ -316,7 +338,7 @@ def main(root: str = "realistic_dataset", n_images: int = 2300,
             }
             syn0 = {slot: 0 for slot in _SLOT_NAMES}
             gens[str(i)] = [
-                _realize(_TEMPLATES[0], dec_scene, slots, text_rng, syn0)
+                _realize(templates[0], dec_scene, slots, text_rng, syn0)
             ]
             gts[str(i)] = captions[i]
         oracle_cider[name] = round(
@@ -330,7 +352,7 @@ def main(root: str = "realistic_dataset", n_images: int = 2300,
     for i in splits["dev"]:
         syn0 = {slot: 0 for slot in _SLOT_NAMES}
         gens[str(i)] = [
-            _realize(_TEMPLATES[0], scenes[i], slots, text_rng, syn0)
+            _realize(templates[0], scenes[i], slots, text_rng, syn0)
         ]
         gts[str(i)] = captions[i]
     stats["perfect_knowledge_dev_cider"] = round(
@@ -359,6 +381,8 @@ if __name__ == "__main__":
     ap.add_argument("--grids", action="store_true",
                     help="also emit a 49-cell grid stream (DLCT runs)")
     ap.add_argument("--d-grid", type=int, default=1024)
+    ap.add_argument("--lang", choices=["vi", "en"], default="vi")
     a = ap.parse_args()
     main(a.root, a.n_images, a.seed, inventory=a.inventory, noise=a.noise,
-         zipf_a=a.zipf_a, quiet=a.quiet, grids=a.grids, d_grid=a.d_grid)
+         zipf_a=a.zipf_a, quiet=a.quiet, grids=a.grids, d_grid=a.d_grid,
+         lang=a.lang)
