@@ -142,16 +142,24 @@ def bench_jax() -> tuple:
 def bench_trained() -> dict:
     """Decode the TRAINED d512 checkpoint on its held-out test split.
 
-    Artifact produced by scripts/export_trained_bench.py (14 XE epochs on
-    the 1k-image signal dataset at reference scale; the side-by-side in
-    PERF.md shows this repo's dev CIDEr equals the torch reference's to 12
-    decimals).  Returns trained-decode throughput + the test CIDEr the
-    decoded captions actually score, so the headline row is backed by a
-    real model, not random init."""
+    Artifact produced by scripts/export_trained_bench.py (reference-scale
+    XE+SCST training on the realistic-language benchmark; the PERF.md
+    round-5 side-by-side trains the torch reference on the same data).
+    Returns trained-decode throughput + the test CIDEr the decoded
+    captions actually score, so the headline row is backed by a real
+    model on a non-saturating task, not random init."""
     import os
 
-    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "saved_models", "signal_d512_bench")
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "saved_models")
+    # round 5: the trained row comes from the realistic-language
+    # benchmark artifact (hard task: Zipf vocab ~7k, 21.7-token captions,
+    # ~5 refs/image, oracle ceiling < 1 — see realistic_dataset/stats
+    # in the artifact meta); the saturated vocab-51 signal artifact is
+    # retired as a fallback only
+    art = os.path.join(base, "realistic_d512_bench")
+    if not os.path.isdir(art):
+        art = os.path.join(base, "signal_d512_bench")
     if not os.path.isdir(art):
         return {}
 

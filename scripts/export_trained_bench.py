@@ -1,5 +1,11 @@
-"""Train the flagship model on the signal dataset at reference scale and
-export a compact trained-bench artifact for bench.py.
+"""Train the flagship model at reference scale and export a compact
+trained-bench artifact for bench.py.
+
+Round 5 (VERDICT r4 weak #1): the default dataset is now the REALISTIC-
+language benchmark (scripts/make_realistic_dataset.py — Zipf vocab ~7k,
+15-25-token captions, ~5 paraphrastic refs/image, oracle ceiling <1) so
+the bench's trained row comes from the hard task, retiring the
+saturated vocab-51 signal row.
 
 VERDICT r2 missing #1: bench.py timed random-init weights only, so it
 could not support the "at CIDEr parity" half of the headline claim.  This
@@ -39,20 +45,27 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 SHAPE = dict(d_model=512, heads=8, layers=3, d_ff=2048,
              batch=60, dict_batch=60, warmup=1000, beam=3)
+DATASET_NAME = "realistic_dataset"
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=14)
-    ap.add_argument("--root", default=os.path.join(REPO, "signal_dataset"))
+    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--scst-epochs", type=int, default=0)
+    ap.add_argument("--root", default=os.path.join(REPO, DATASET_NAME))
     ap.add_argument("--out", default=os.path.join(
-        REPO, "saved_models", "signal_d512_bench"))
+        REPO, "saved_models", "realistic_d512_bench"))
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(args.root, "train.json")):
-        from make_tiny_dataset import main as make_ds
+        if os.path.basename(os.path.normpath(args.root)) == DATASET_NAME:
+            from make_realistic_dataset import main as make_ds
 
-        make_ds(args.root, 1000, signal=True, grids=False)
+            make_ds(args.root, 2300)
+        else:
+            from make_tiny_dataset import main as make_ds
+
+            make_ds(args.root, 1000, signal=True, grids=False)
 
     from compare_training_vs_reference import shared_config
 
@@ -70,6 +83,13 @@ def main() -> None:
         val = float(trainer.evaluate_loss(trainer.val_dataloader))
         print(f"[epoch {epoch}] val_loss={val:.4f} t={time.time()-t0:.0f}s",
               flush=True)
+    if args.scst_epochs:
+        trainer.use_rl = True
+        trainer._ensure_scst()
+        for e in range(args.scst_epochs):
+            trainer.epoch = args.epochs + e
+            trainer.train_scst()
+            print(f"[scst epoch {e}] t={time.time()-t0:.0f}s", flush=True)
     dev_scores = trainer.evaluate_metrics(trainer.val_dict_dataloader)
     test_scores = trainer.evaluate_metrics(trainer.test_dict_dataloader)
     print("dev:", dev_scores, "\ntest:", test_scores, flush=True)
@@ -107,8 +127,11 @@ def main() -> None:
                 "dev_scores": {k: float(v) for k, v in dev_scores.items()},
                 "test_scores": {k: float(v) for k, v in test_scores.items()},
                 "train_wall_s": round(time.time() - t0, 1),
-                "dataset": "signal_dataset (1000 synthetic images, "
-                           "make_tiny_dataset.py --signal --no-grids)",
+                "scst_epochs": args.scst_epochs,
+                "dataset": os.path.basename(os.path.normpath(args.root))
+                + " (make_realistic_dataset.py)" if
+                os.path.basename(os.path.normpath(args.root)) == DATASET_NAME
+                else args.root,
             },
             f, indent=2,
         )

@@ -1,11 +1,13 @@
 """Shared loader for the committed trained-bench artifact.
 
-``saved_models/signal_d512_bench`` (produced by
-scripts/export_trained_bench.py) holds the reference-scale d512 model
-trained on the 1k-image signal dataset: f16 params as a flat npz, the
-pickled Vocab, the held-out test features and references.  bench.py and
-scripts/bench_latency.py both decode it — this module is the single
-place that knows the artifact format.
+Produced by scripts/export_trained_bench.py: the reference-scale d512
+model's f16 params as a flat npz, the pickled Vocab, the held-out test
+features and references.  Round 5 prefers
+``saved_models/realistic_d512_bench`` (trained on the realistic-language
+benchmark — Zipf vocab ~7k, 21.7-token captions, 5 refs/image, oracle
+ceiling <1) and falls back to the retired vocab-51
+``signal_d512_bench``.  bench.py and scripts/bench_latency.py both
+decode it — this module is the single place that knows the format.
 """
 
 from __future__ import annotations
@@ -18,7 +20,13 @@ from typing import Any, Dict
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ARTIFACT_DIR = os.path.join(REPO, "saved_models", "signal_d512_bench")
+_CANDIDATES = [
+    os.path.join(REPO, "saved_models", "realistic_d512_bench"),
+    os.path.join(REPO, "saved_models", "signal_d512_bench"),
+]
+ARTIFACT_DIR = next(
+    (d for d in _CANDIDATES if os.path.isdir(d)), _CANDIDATES[0]
+)
 
 
 def load_trained_artifact(workdir: str = "/tmp/bench_trained") -> Dict[str, Any]:
