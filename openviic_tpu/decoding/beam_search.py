@@ -103,13 +103,22 @@ def _gather_beams_onehot(x: jnp.ndarray, selected_beam: jnp.ndarray) -> jnp.ndar
     """Beam-axis gather of a small (bs, beam, ...) tensor via one-hot
     contraction.  ``take_along_axis`` on these shapes lowers to a slow
     per-element gather on TPU (~90us/step each in the decode profile); the
-    one-hot einsum is a vectorised VPU op.  Exact for ints < 2^24."""
+    one-hot einsum is a vectorised VPU op.
+
+    ``Precision.HIGHEST`` is REQUIRED for exactness: at the TPU default
+    precision the MXU runs f32 operands through bf16 passes, rounding
+    integer payloads above 256 to their bf16 neighbourhood (measured:
+    7095 -> 7104, 4567 -> 4576) — which corrupted sampled token ids past
+    the vocab bound in the round-5 realistic-vocab SCST run.  At HIGHEST
+    the contraction is exact for ints < 2^24."""
     n_beams = x.shape[1]
     onehot = (
         selected_beam[..., None] == jnp.arange(n_beams, dtype=selected_beam.dtype)
     ).astype(jnp.float32)
     flat = x.reshape(x.shape[0], n_beams, -1).astype(jnp.float32)
-    out = jnp.einsum("bqp,bpk->bqk", onehot, flat)
+    out = jnp.einsum(
+        "bqp,bpk->bqk", onehot, flat, precision=jax.lax.Precision.HIGHEST
+    )
     return out.reshape((x.shape[0], n_beams) + x.shape[2:]).astype(x.dtype)
 
 

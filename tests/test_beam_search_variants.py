@@ -538,3 +538,38 @@ def test_pallas_kernels_disabled_on_sharded_batch(tiny_vocab):
     np.testing.assert_array_equal(np.asarray(got_o), np.asarray(ref_o))
     # the sharded call compiled a separate kernel-free program
     assert {k[3] for k in searcher._compiled} == {8, False}
+
+
+def test_onehot_gather_requests_highest_precision():
+    """_gather_beams_onehot must contract at Precision.HIGHEST: at the
+    TPU default the MXU routes f32 through bf16 passes, rounding integer
+    payloads >256 (measured 7095->7104) — which pushed sampled token ids
+    past the vocab bound in the round-5 realistic-vocab SCST run.  The
+    rounding only manifests on TPU, so this regression pins the
+    precision request in the jaxpr (exactness itself is asserted too —
+    trivially true on CPU, load-bearing on TPU)."""
+    import jax
+    import numpy as np
+
+    from openviic_tpu.decoding.beam_search import _gather_beams_onehot
+
+    ids = jnp.asarray(
+        np.array([[7095, 7097, 6404], [123, 4567, 7001]], np.int32)[..., None]
+    )  # (bs=2, beam=3, 1)
+    sel = jnp.asarray(np.array([[2, 0, 1], [1, 1, 0]], np.int32))
+    out = np.asarray(_gather_beams_onehot(ids, sel))
+    expect = np.take_along_axis(np.asarray(ids), sel[..., None], axis=1)
+    np.testing.assert_array_equal(out, expect)
+
+    jaxpr = jax.make_jaxpr(_gather_beams_onehot)(ids, sel)
+    dots = [
+        e for e in jaxpr.jaxpr.eqns if e.primitive.name in
+        ("dot_general", "einsum")
+    ]
+    assert dots, "gather no longer lowers to a contraction?"
+    for e in dots:
+        prec = e.params.get("precision")
+        assert prec is not None and "HIGHEST" in str(prec), (
+            f"one-hot gather contraction must request HIGHEST precision, "
+            f"got {prec}"
+        )
