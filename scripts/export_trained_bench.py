@@ -67,32 +67,75 @@ def main() -> None:
 
             make_ds(args.root, 1000, signal=True, grids=False)
 
-    from compare_training_vs_reference import shared_config
+    import shutil
+
+    from compare_training_vs_reference import _RewardTap, shared_config
 
     from openviic_tpu.builders import build_trainer
 
+    # wipe the checkpoint dir: the trainer caches vocab.bin there and
+    # reloads it if present — stale dirs poison the vocab (round-5 fix)
+    shutil.rmtree("/tmp/export_bench_ckpt", ignore_errors=True)
     cfg = shared_config(
-        args.root, "/tmp/export_bench_ckpt", "signal_d512_bench",
+        args.root, "/tmp/export_bench_ckpt", "realistic_d512_bench",
         rbg=True, bf16=True, **SHAPE,
     )
     trainer = build_trainer(cfg)
     t0 = time.time()
+    val_curve = []
     for epoch in range(args.epochs):
         trainer.epoch = epoch
         trainer.train()
         val = float(trainer.evaluate_loss(trainer.val_dataloader))
+        val_curve.append(val)
         print(f"[epoch {epoch}] val_loss={val:.4f} t={time.time()-t0:.0f}s",
               flush=True)
+    xe_dev_scores = trainer.evaluate_metrics(trainer.val_dict_dataloader)
+    print("XE dev:", xe_dev_scores, flush=True)
+    reward_curve = []
     if args.scst_epochs:
         trainer.use_rl = True
         trainer._ensure_scst()
+        tap = _RewardTap(trainer.train_cider)
+        trainer.train_cider = tap
         for e in range(args.scst_epochs):
             trainer.epoch = args.epochs + e
+            n0 = len(tap.rewards)
             trainer.train_scst()
-            print(f"[scst epoch {e}] t={time.time()-t0:.0f}s", flush=True)
+            if len(tap.rewards) > n0:
+                reward_curve.append(float(np.mean(tap.rewards[n0:])))
+            print(f"[scst epoch {e}] reward="
+                  f"{reward_curve[-1] if reward_curve else None} "
+                  f"t={time.time()-t0:.0f}s", flush=True)
     dev_scores = trainer.evaluate_metrics(trainer.val_dict_dataloader)
     test_scores = trainer.evaluate_metrics(trainer.test_dict_dataloader)
     print("dev:", dev_scores, "\ntest:", test_scores, flush=True)
+
+    # repo-half comparison record (same shape as compare_training_vs_
+    # reference.py --only repo output) so one training run feeds both the
+    # PERF.md side-by-side and the bench artifact
+    record = {
+        "epochs": args.epochs,
+        "shape": SHAPE,
+        "repo": {
+            "val_loss": val_curve,
+            "cider": float(xe_dev_scores["CIDEr"]),
+            "wall_s": round(time.time() - t0, 1),
+            "decode": "bf16 (guarded)",
+            **(
+                {
+                    "scst": {
+                        "reward_curve": reward_curve,
+                        "cider": float(dev_scores["CIDEr"]),
+                        "wall_s": round(time.time() - t0, 1),
+                    }
+                }
+                if args.scst_epochs else {}
+            ),
+        },
+    }
+    with open("/tmp/repo_realistic_d512.json", "w") as f:
+        json.dump(record, f, indent=2)
 
     os.makedirs(args.out, exist_ok=True)
     params = trainer.state["params"]
@@ -124,6 +167,9 @@ def main() -> None:
             {
                 "shape": SHAPE,
                 "epochs": args.epochs,
+                "xe_dev_scores": {
+                    k: float(v) for k, v in xe_dev_scores.items()
+                },
                 "dev_scores": {k: float(v) for k, v in dev_scores.items()},
                 "test_scores": {k: float(v) for k, v in test_scores.items()},
                 "train_wall_s": round(time.time() - t0, 1),
