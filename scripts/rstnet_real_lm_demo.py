@@ -59,11 +59,16 @@ def pretrain_mlm(dataset_root: str, out_dir: str, vocab, steps: int,
     )
     model = FlaxRobertaForMaskedLM(cfg, seed=seed)
 
-    # caption id matrix through the captioner's own Vocab
+    # caption id matrix through the captioner's own Vocab (same
+    # preprocess -> encode path as FeatureDataset)
+    from openviic_tpu.data.preprocess import preprocess_caption
+
     with open(os.path.join(dataset_root, "train.json")) as f:
         anns = json.load(f)["annotations"]
     ids = np.stack([
-        np.asarray(vocab.encode_caption(a["caption"]))
+        np.asarray(vocab.encode_caption(
+            preprocess_caption(a["caption"], vocab.tokenizer)
+        ))
         for a in anns
     ]).astype(np.int32)
     pad = vocab.padding_idx
@@ -164,12 +169,19 @@ def main() -> None:
 
     record = {"n_images": args.n_images, "graft": not args.no_graft}
 
-    trainer = build_trainer(cfg)
-
+    # pretrain the LM BEFORE building the trainer: the trainer's backbone
+    # adapter reads the saved config (AutoConfig local_files_only) at
+    # construction, so the checkpoint must exist first or the shapes
+    # (max_position_embeddings) diverge and the graft refuses
     if not os.path.isfile(os.path.join(lm_dir, "config.json")):
+        from openviic_tpu.data.vocab import Vocab
+
+        vocab = Vocab(cfg.DATASET)
         record.update(
-            pretrain_mlm(dataset, lm_dir, trainer.vocab, args.mlm_steps)
+            pretrain_mlm(dataset, lm_dir, vocab, args.mlm_steps)
         )
+
+    trainer = build_trainer(cfg)
 
     if not args.no_graft:
         from graft_hf import graft_hf_params
