@@ -571,7 +571,22 @@ class AdaptiveDecoder(_DecoderBase):
         seq = jnp.broadcast_to(jnp.arange(1, seq_len + 1)[None, :], (b_s, seq_len))
         seq = jnp.where(pad_mask[:, 0, 0, :], 0, seq)
 
-        _, language_signals = self.language_model(caption_tokens)
+        if self.config.LANGUAGE_MODEL.get("SIGNAL_MODE", "prefix") == "token":
+            # per-token signals — the SAME function the step decoder
+            # evaluates (1-token LM forward per position), so training and
+            # decode are consistent.  The reference's training forward
+            # feeds the LM the full sequence while its step path feeds one
+            # token (decoders.py:216 vs base_transformer.py:30-43) — and
+            # its bidirectional backbone leaks FUTURE tokens into position
+            # t's signal during training, so a model trained in "prefix"
+            # mode decodes garbage (round-5 finding: val_loss 1.34 with
+            # dev CIDEr 0.0001).  "token" mode removes both the mismatch
+            # and the leak; "prefix" (default) keeps reference parity.
+            flat = caption_tokens.reshape(-1, 1)
+            _, sig = self.language_model(flat)
+            language_signals = sig.reshape(b_s, seq_len, -1)
+        else:
+            _, language_signals = self.language_model(caption_tokens)
 
         embedded, _ = self.word_emb(caption_tokens, train=train)
         out = embedded + jnp.take(self.pos_table, seq, axis=0).astype(embedded.dtype)

@@ -573,3 +573,50 @@ def test_onehot_gather_requests_highest_precision():
             f"one-hot gather contraction must request HIGHEST precision, "
             f"got {prec}"
         )
+
+
+def test_adaptive_decoder_token_mode_step_parity(tiny_vocab):
+    """SIGNAL_MODE: token — per-token language signals in BOTH training
+    and decode, so step-vs-teacher-forced parity HOLDS for the adaptive
+    decoder (round 5).  In the default "prefix" mode it cannot: the
+    reference trains on full-sequence signals whose bidirectional
+    backbone reads future tokens, while its step path feeds the LM one
+    token (decoders.py:216) — a model trained that way decodes garbage
+    (val_loss 1.34 / dev CIDEr 0.0001 measured on the round-5 RSTNet
+    demo before this mode existed)."""
+    cfg = model_config(decoder="AdaptiveDecoder")
+    dec = cfg.DECODER
+    dec._data["ADAPTIVE_ATTENTION"] = ConfigNode(
+        {
+            "SELF_ATTENTION": attention_config(
+                "AdaptiveScaledDotProductAttention", can_be_stateful=True
+            ),
+            "ENC_ATTENTION": attention_config("AdaptiveScaledDotProductAttention"),
+        }
+    )
+    dec._data["LANGUAGE_MODEL"] = ConfigNode(
+        {
+            "SIGNAL_MODE": "token",
+            "ARCHITECTURE": "PhoBERTModel",
+            "HIDDEN_SIZE": 16,
+            "D_MODEL": D_MODEL,
+            "MAX_LEN": tiny_vocab.max_caption_length,
+            "VOCAB_SIZE": len(tiny_vocab),
+            "PADDING_IDX": tiny_vocab.padding_idx,
+            "BACKBONE_LAYERS": 1,
+            "BACKBONE_HEADS": 2,
+            "ATTENTION": attention_config(),
+        }
+    )
+    model = build_model(cfg, tiny_vocab)
+    batch = make_batch(tiny_vocab)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    _check_step_vs_teacher_forced(model, params, batch, tiny_vocab)
+    # the language-table fast path stays exact in token mode too
+    table = model.apply(params, method=model.compute_language_table)
+    outs, lps = beam_search(model, params, batch, beam_size=2, out_size=1)
+    outs_t, lps_t = beam_search(
+        model, params, batch, beam_size=2, out_size=1, language_table=table
+    )
+    np.testing.assert_array_equal(np.asarray(outs), np.asarray(outs_t))
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(lps_t), atol=1e-6)
