@@ -162,6 +162,11 @@ def main() -> None:
         "CHECKPOINT_PATH": os.path.join(work, "runs"),
         "WARMUP": 1000,
         "PATIENCE": 3,
+        # bf16 training with the MLM-grafted LM produces a NaN gradient
+        # on the first update (loss 8.70 -> nan at step 1, measured
+        # round 5; f32 is clean) — train in f32, decode stays guarded
+        # bf16.  Tracked in ROADMAP as an open precision interaction.
+        "MIXED_PRECISION": False,
     })
     cfg.MODEL._data["NAME"] = "rstnet_real_lm"
     lm_dir = os.path.join(work, "pretrained_lm")
