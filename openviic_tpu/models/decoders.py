@@ -583,6 +583,17 @@ class AdaptiveDecoder(_DecoderBase):
             # dev CIDEr 0.0001).  "token" mode removes both the mismatch
             # and the leak; "prefix" (default) keeps reference parity.
             flat = caption_tokens.reshape(-1, 1)
+            # pad rows would be FULLY masked inside the LM (pad key +
+            # causal self only) — forward is guarded, but the softmax
+            # VJP computes nan*0 through the zeroed branch (the classic
+            # double-where pitfall), poisoning the first gradient update
+            # (loss 8.70 -> nan at step 1, round-5 measurement).  Their
+            # signals are never observable (pad query outputs are zeroed
+            # per layer and the loss ignores pad targets), so substitute
+            # a safe token id before the LM call.
+            flat = jnp.where(
+                flat == self.padding_idx, self.vocab.bos_idx, flat
+            )
             _, sig = self.language_model(flat)
             language_signals = sig.reshape(b_s, seq_len, -1)
         else:
