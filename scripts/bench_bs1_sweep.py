@@ -38,6 +38,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--variants", default=None,
+                    help="comma list to subset (e.g. while,scan,unroll4)")
+    ap.add_argument("--no-hk", action="store_true",
+                    help="skip the head-kernel twins")
     args = ap.parse_args()
 
     import jax
@@ -70,10 +74,13 @@ def main() -> None:
         "unroll8": dict(unroll=8),
         "full": dict(unroll=True),
     }
+    if args.variants:
+        keep = set(args.variants.split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
     results = {}
     ref_tokens = None
     for name, kw in variants.items():
-        for hk in (False, True):
+        for hk in ((False,) if args.no_hk else (False, True)):
             tag = name + ("+hk" if hk else "")
             decode = jax.jit(
                 functools.partial(
